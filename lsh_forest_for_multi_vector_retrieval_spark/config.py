@@ -1,0 +1,65 @@
+"""Pipeline configuration.
+
+The reference's forest hyper-parameters (``LSHForest.__init__``,
+/root/reference/src/shared/lsh_forest.py:54-64: ``l`` trees, ``k`` pivots,
+``km`` max depth) map onto band-LSH parameters here: ``num_bands`` = l
+(number of trees), ``rows_per_band`` = per-tree prefix depth, and the
+adaptive-depth knobs (`max_bucket_docs`) replace the reference's
+balanced-split rejection sampling (recursive_lsh_forest.py:70-133).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling (north_star config: 5-gram shingles) ---
+    shingle_size: int = 5
+    lowercase: bool = True
+
+    # --- MinHash (north_star config: 128 permutations) ---
+    num_perm: int = 128
+    minhash_seed: int = 42
+
+    # --- banding: 128 perms -> 16 bands x 8 rows (s-curve threshold ~0.72) ---
+    num_bands: int = 16
+    rows_per_band: int = 8
+
+    # --- SimHash (north_star config: 64-bit) ---
+    simhash_bits: int = 64
+    # candidate pre-filter: max Hamming distance between SimHashes before
+    # we even bother with exact Jaccard (cheap JVM-side bit_count filter).
+    simhash_prefilter_max_hamming: int | None = None  # None = disabled
+
+    # --- verification ---
+    jaccard_threshold: float = 0.8
+
+    # --- skew / scale controls (north_rule: explicit skew handling) ---
+    # Buckets larger than this are boilerplate-heavy hot keys; we cap the
+    # pairs they emit (reference analog: pivot caching <=k per node,
+    # lsh_forest.py:117-119, and balanced-split rejection,
+    # recursive_lsh_forest.py:108-122).
+    max_bucket_docs: int = 4096
+    # Adaptive prefix deepening (LSH-forest variable depth, F1): buckets
+    # above this size get a longer prefix before pair generation.
+    adaptive_max_bucket: int = 1024
+    adaptive_max_extra_rows: int = 4
+
+    # --- connected components ---
+    cc_max_iterations: int = 50
+
+    # --- misc ---
+    salt_partitions: int = 8
+    checkpoint_format: str = "parquet"  # "iceberg" when a catalog is configured
+
+    def __post_init__(self) -> None:
+        if self.num_bands * self.rows_per_band > self.num_perm:
+            raise ValueError(
+                f"num_bands*rows_per_band={self.num_bands * self.rows_per_band} "
+                f"exceeds num_perm={self.num_perm}"
+            )
+
+
+DEFAULT_CONFIG = DedupConfig()

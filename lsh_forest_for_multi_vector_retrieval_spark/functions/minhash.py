@@ -1,0 +1,103 @@
+"""MinHash signatures — Arrow-batched pandas UDF, NumPy-vectorized.
+
+Reference analog: the per-tree *hash sequences* of sampled LSH closures
+(/root/reference/src/shared/lsh_forest.py:60-62 ``hash_seqs``). There the
+hash family is data-independent and seeded per forest; here the 128
+permutation parameters ``(A, B)`` are drawn once from a seeded generator and
+captured in the UDF closure — broadcast to every executor for free via task
+serialization, no driver round-trips.
+
+Arithmetic is plain ``(a*h + b) mod p`` over uint64 with the Mersenne prime
+p = 2^61 - 1; uint64 wraparound is deterministic and identical on every
+platform/executor, which is the property that matters for dedup (the
+north_rule requires reproducible signatures across the cluster).
+
+Vectorization: per Arrow batch we hash the batch's *unique* shingles once
+(a (num_perm, U) matrix) and take per-document segment minima with
+``np.minimum.reduceat`` — no per-row Python loops over permutations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+MERSENNE_61 = np.uint64((1 << 61) - 1)
+EMPTY_SIG_FILL = np.int64((1 << 61) - 1)  # sentinel sig for empty docs
+
+
+def minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded (A, B) permutation parameters; A odd and nonzero."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_np(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """NumPy oracle: signature of one shingle-hash set. Returns int64[num_perm]."""
+    if len(shingles) == 0:
+        return np.full(len(a), EMPTY_SIG_FILL, dtype=np.int64)
+    s = shingles.astype(np.int64).view(np.uint64)
+    vals = (a[:, None] * s[None, :] + b[:, None]) % MERSENNE_61
+    return vals.min(axis=1).astype(np.int64)
+
+
+def minhash_udf(num_perm: int = 128, seed: int = 42) -> Column:
+    """Factory for the signature UDF: ``array<bigint> -> array<bigint>``."""
+    a, b = minhash_params(num_perm, seed)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _minhash(shingle_col: pd.Series) -> pd.Series:
+        lens = shingle_col.map(len).to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        out: list[np.ndarray] = []
+        if total == 0:
+            empty = np.full(num_perm, EMPTY_SIG_FILL, dtype=np.int64)
+            return pd.Series([empty] * len(shingle_col))
+        flat = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in shingle_col if len(x)]
+        ).view(np.uint64)
+        # hash each *unique* shingle once per batch
+        uniq, inv = np.unique(flat, return_inverse=True)
+        hv = (a[:, None] * uniq[None, :] + b[:, None]) % MERSENNE_61  # (P, U)
+        per_shingle = hv[:, inv]  # (P, total) — gathered back to row order
+        offsets = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        nonempty = lens > 0
+        red_off = offsets[nonempty]
+        mins = np.minimum.reduceat(per_shingle, red_off, axis=1)  # (P, n_nonempty)
+        # reduceat with a repeated offset (adjacent empty groups) is avoided
+        # because we reduce only non-empty groups.
+        mins = mins.astype(np.int64)
+        empty_sig = np.full(num_perm, EMPTY_SIG_FILL, dtype=np.int64)
+        j = 0
+        for i in range(len(lens)):
+            if nonempty[i]:
+                out.append(mins[:, j])
+                j += 1
+            else:
+                out.append(empty_sig)
+        return pd.Series(out)
+
+    return _minhash
+
+
+def band_hashes_col(
+    sig: Column, num_bands: int = 16, rows_per_band: int = 8
+) -> Column:
+    """Split a signature into bands and hash each — pure Column expr.
+
+    Reference analog: the trie path label of tree *l* at depth *km*
+    (lsh_forest.py:110-126) — one band = one tree, the band hash = the
+    leaf bucket id. xxhash64 over the slice keeps the key fixed-width
+    (8 bytes) for shuffle-volume control (SURVEY §4.2).
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.xxhash64(F.slice(sig, b * rows_per_band + F.lit(1), rows_per_band)),
+    )

@@ -1,0 +1,68 @@
+"""Tokenization + n-gram shingling — pure Column expressions (JVM-side).
+
+Reference semantics: a document is an *unordered set* of vectors
+(/root/reference/src/shared/lsh_forest.py:154-157); here the "vectors" are
+the document's distinct 5-gram shingles. Hashing uses Spark's built-in
+``xxhash64`` (seeded, deterministic across executors — never Python's
+``hash``), so the whole shingle stage stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text: Column, lowercase: bool = True) -> Column:
+    """Whitespace tokens; empty tokens dropped so runs of spaces are safe."""
+    t = F.lower(text) if lowercase else text
+    toks = F.split(t, r"\s+")
+    return F.filter(toks, lambda x: x != F.lit(""))
+
+
+def shingle_strings_col(toks: Column, k: int = 5) -> Column:
+    """Distinct k-gram shingle *strings* (space-joined token windows).
+
+    Documents shorter than k tokens contribute their whole token sequence
+    as a single shingle (the reference's <=1-vector leaf base case,
+    recursive_lsh_forest.py:92, degenerates the same way: tiny docs are
+    their own bucket).
+    """
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    whole = F.array(F.concat_ws(" ", toks))
+    return F.array_distinct(F.when(n >= k, grams).otherwise(whole))
+
+
+def shingle_hashes_col(toks: Column, k: int = 5) -> Column:
+    """Distinct 64-bit shingle hashes (xxhash64 of each k-gram string)."""
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    whole = F.array(F.xxhash64(F.concat_ws(" ", toks)))
+    return F.array_distinct(F.when(n >= k, grams).otherwise(whole))
+
+
+def with_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    lowercase: bool = True,
+    out_col: str = "shingles",
+) -> DataFrame:
+    """Append a ``shingles: array<bigint>`` column of distinct k-gram hashes.
+
+    Empty/null texts yield an empty array (no shingles → never a duplicate
+    candidate; exact-empty dup handling belongs to the exact-dedup pass).
+    """
+    toks = tokens_col(F.col(text_col), lowercase=lowercase)
+    sh = F.when(
+        F.col(text_col).isNull() | (F.size(toks) == 0),
+        F.array().cast("array<bigint>"),
+    ).otherwise(shingle_hashes_col(toks, k))
+    return df.withColumn(out_col, sh)

@@ -1,0 +1,90 @@
+"""SimHash (64-bit) — Arrow-batched pandas UDF, NumPy-vectorized.
+
+Reference analog: hyperplane LSH ``h(v) = sign(v . w)``
+(/root/reference/src/shared/lsh_family.py:19-42, lsh_forest.py:26-32).
+For text, the standard Charikar construction replaces the random
+hyperplane dot product with the bit-decomposition of feature hashes:
+bit_b(simhash) = sign( sum_{shingle s} (2*bit_b(s) - 1) ), which is
+exactly a hyperplane sign in the 2^64-dim feature space.
+
+Also provides hyperplane SimHash over dense float vectors (the literal
+reference operator H1) for the embeddings table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+_BITS = np.arange(64, dtype=np.uint64)
+
+
+def simhash_np(shingles: np.ndarray) -> np.int64:
+    """NumPy oracle: 64-bit SimHash of one shingle-hash set (unweighted)."""
+    if len(shingles) == 0:
+        return np.int64(0)
+    s = shingles.astype(np.int64).view(np.uint64)
+    bits = (s[:, None] >> _BITS[None, :]) & np.uint64(1)  # (n, 64)
+    votes = 2 * bits.astype(np.int64).sum(axis=0) - len(s)  # sum of +-1
+    word = np.uint64(0)
+    for b in range(64):
+        if votes[b] >= 0:
+            word |= np.uint64(1) << np.uint64(b)
+    return word.astype(np.int64)
+
+
+def simhash_udf() -> Column:
+    """Factory: ``array<bigint> shingles -> bigint simhash``."""
+
+    @pandas_udf(T.LongType())
+    def _simhash(shingle_col: pd.Series) -> pd.Series:
+        lens = shingle_col.map(len).to_numpy(dtype=np.int64)
+        n = len(shingle_col)
+        out = np.zeros(n, dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.Series(out)
+        flat = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in shingle_col if len(x)]
+        ).view(np.uint64)
+        bits = ((flat[:, None] >> _BITS[None, :]) & np.uint64(1)).astype(np.int64)
+        offsets = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        nonempty = lens > 0
+        sums = np.add.reduceat(bits, offsets[nonempty], axis=0)  # (n_ne, 64)
+        votes = 2 * sums - lens[nonempty][:, None]
+        words = ((votes >= 0).astype(np.uint64) << _BITS[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[nonempty] = words.view(np.int64)
+        return pd.Series(out)
+
+    return _simhash
+
+
+def hyperplane_simhash_udf(dim: int, bits: int = 64, seed: int = 42) -> Column:
+    """Literal reference H1: seeded random hyperplanes over float vectors.
+
+    ``array<float>[dim] -> bigint`` — one matmul per Arrow batch against a
+    (dim, bits) Gaussian matrix drawn once from RandomState(seed)
+    (reference draws per-closure, lsh_family.py:30-36; we draw the whole
+    matrix up front — same distribution, executor-deterministic).
+    """
+    rng = np.random.RandomState(seed)
+    w = rng.standard_normal((dim, bits))
+    bit_idx = np.arange(bits, dtype=np.uint64)
+
+    @pandas_udf(T.LongType())
+    def _hp_simhash(vec_col: pd.Series) -> pd.Series:
+        if len(vec_col) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vec_col])  # (n, dim)
+        proj = m @ w  # (n, bits)
+        words = ((proj >= 0).astype(np.uint64) << bit_idx[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.Series(words.view(np.int64))
+
+    return _hp_simhash

@@ -1,0 +1,148 @@
+"""LSH band tables — the reference's forest-of-tries as DataFrames.
+
+A *band* is one tree of the forest (``LSHForest.__init__`` builds ``l``
+roots, /root/reference/src/shared/lsh_forest.py:54-64); a *bucket*
+``(band_id, band_hash)`` is a leaf; rows sharing a bucket are the leaf's
+vector ids (``_insert_into_tree``, lsh_forest.py:110-126). Insert-as-loop
+becomes one bulk select + posexplode — a single narrow stage, no shuffle.
+
+``adaptive_bands`` adds the LSH-*forest* property: variable-depth leaves
+(``RecursiveLSHForest._build_tree`` splits until a size bound,
+recursive_lsh_forest.py:70-133). Instead of recursion we iteratively
+lengthen the hashed signature slice only for oversized buckets — each
+round is one groupBy + one semi-join, and typically 1-2 rounds suffice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lsh_forest_for_multi_vector_retrieval_spark.config import DedupConfig
+from lsh_forest_for_multi_vector_retrieval_spark.functions.minhash import (
+    band_hashes_col,
+    minhash_udf,
+)
+from lsh_forest_for_multi_vector_retrieval_spark.functions.shingles import with_shingles
+from lsh_forest_for_multi_vector_retrieval_spark.functions.simhash import simhash_udf
+
+
+def with_signatures(
+    df: DataFrame,
+    cfg: DedupConfig = DedupConfig(),
+    text_col: str = "text",
+    include_simhash: bool = True,
+) -> DataFrame:
+    """text -> shingles -> MinHash sig (+ SimHash). One narrow stage."""
+    out = with_shingles(df, text_col=text_col, k=cfg.shingle_size, lowercase=cfg.lowercase)
+    mh = minhash_udf(cfg.num_perm, cfg.minhash_seed)
+    out = out.withColumn("sig", mh(F.col("shingles")))
+    if include_simhash:
+        sh = simhash_udf()
+        out = out.withColumn("simhash", sh(F.col("shingles")))
+    return out
+
+
+def band_table(
+    sigs: DataFrame,
+    cfg: DedupConfig = DedupConfig(),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(band_id, band_hash, doc_id)`` — the whole forest in one table.
+
+    Empty docs (sentinel signatures) are excluded: an empty document never
+    generates near-dup candidates (reference base case: a leaf with <=1
+    vector produces no comparisons, recursive_lsh_forest.py:92).
+    """
+    bands = band_hashes_col(F.col("sig"), cfg.num_bands, cfg.rows_per_band)
+    return (
+        sigs.where(F.size("shingles") > 0)
+        .select(F.col(id_col), F.posexplode(bands).alias("band_id", "band_hash"))
+    )
+
+
+def adaptive_band_table(
+    sigs: DataFrame,
+    cfg: DedupConfig = DedupConfig(),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Variable-depth band table (the LSH-forest F1-F2 semantics).
+
+    Start every band at ``rows_per_band`` signature rows. Any bucket with
+    more than ``cfg.adaptive_max_bucket`` docs gets its prefix lengthened
+    by hashing extra signature positions (up to ``adaptive_max_extra_rows``)
+    — the relational form of "keep splitting an overfull trie node".
+    Output schema: ``(band_id, band_hash, depth, doc_id)``.
+
+    Deepening re-hashes with a longer slice, so docs that collide at depth
+    d+1 also collided at depth d (prefix property preserved in expectation
+    — we hash the slice rather than concatenating strings to keep the key
+    8 bytes wide; containment of buckets is exact because the slice is a
+    superset of the shorter slice for the same band).
+    """
+    base_rows = cfg.rows_per_band
+
+    def bands_at_depth(extra: int) -> DataFrame:
+        rows = base_rows + extra
+        col = F.transform(
+            F.sequence(F.lit(0), F.lit(cfg.num_bands - 1)),
+            lambda b: F.xxhash64(
+                F.slice(F.col("sig"), b * base_rows + F.lit(1), rows)
+            ),
+        )
+        # NB: slices at extra>0 overrun into the next band's rows for the
+        # last band; signature length num_perm >= num_bands*rows_per_band
+        # guarantees validity only when extra rows fit — we wrap instead.
+        wrap = F.transform(
+            F.sequence(F.lit(0), F.lit(cfg.num_bands - 1)),
+            lambda b: F.xxhash64(
+                F.concat(
+                    F.slice(F.col("sig"), b * base_rows + F.lit(1), base_rows),
+                    F.slice(F.col("sig"), (b * base_rows + base_rows) % cfg.num_perm + F.lit(1), extra),
+                )
+            ),
+        )
+        chosen = col if extra == 0 else wrap
+        return sigs.where(F.size("shingles") > 0).select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(chosen).alias("band_id", "band_hash"),
+            F.lit(rows).alias("depth"),
+        )
+
+    current = bands_at_depth(0)
+    final_parts: list[DataFrame] = []
+    for extra in range(1, cfg.adaptive_max_extra_rows + 1):
+        sizes = current.groupBy("band_id", "band_hash").agg(
+            F.count("*").alias("bucket_n")
+        )
+        hot = sizes.where(F.col("bucket_n") > cfg.adaptive_max_bucket).select(
+            "band_id", "band_hash"
+        )
+        done = current.join(hot, ["band_id", "band_hash"], "left_anti")
+        final_parts.append(done)
+        overfull = current.join(hot, ["band_id", "band_hash"], "left_semi")
+        if overfull.isEmpty():
+            current = None
+            break
+        deeper = bands_at_depth(extra)
+        # only re-band the docs that live in overfull buckets of this band
+        current = deeper.join(
+            overfull.select("band_id", F.col("doc_id")).distinct(),
+            ["band_id", "doc_id"],
+            "left_semi",
+        )
+    if current is not None:
+        final_parts.append(current)
+    out = final_parts[0]
+    for p in final_parts[1:]:
+        out = out.unionByName(p)
+    return out.select("band_id", "band_hash", "depth", "doc_id")
+
+
+def bucket_stats(bands: DataFrame) -> DataFrame:
+    """Bucket-size histogram — the reference's forest diagnostics
+    (forest_insights.py:91-120) as a metrics table (north_rule lineage)."""
+    sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_n"))
+    return sizes.groupBy("bucket_n").agg(
+        F.count("*").alias("num_buckets")
+    ).orderBy("bucket_n")

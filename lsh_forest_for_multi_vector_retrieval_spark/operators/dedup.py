@@ -1,0 +1,210 @@
+"""End-to-end dedup pipelines (the flagship query, SURVEY §3.3).
+
+``minhash_dedup`` is the engine's flagship: text -> shingles -> MinHash
+-> bands -> candidate pairs -> exact-Jaccard verify -> connected
+components. Each arrow is a pure DataFrame->DataFrame stage; the
+checkpointed/resumable variant lives in ``plans.pipeline``.
+
+Also provides the simpler family every training-data pipeline needs:
+exact dedup (hash groupBy), SimHash Hamming dedup, and n-gram-Jaccard
+exact pair search (the brute-force-oracle shape, used both as an operator
+and as the recall oracle in tests).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lsh_forest_for_multi_vector_retrieval_spark.config import DedupConfig
+from lsh_forest_for_multi_vector_retrieval_spark.functions.shingles import (
+    shingle_strings_col,
+    tokens_col,
+    with_shingles,
+)
+from lsh_forest_for_multi_vector_retrieval_spark.operators.bands import (
+    band_table,
+    with_signatures,
+)
+from lsh_forest_for_multi_vector_retrieval_spark.operators.components import (
+    connected_components,
+)
+from lsh_forest_for_multi_vector_retrieval_spark.operators.pairs import candidate_pairs
+from lsh_forest_for_multi_vector_retrieval_spark.operators.verify import verify_pairs
+
+
+@dataclass
+class DedupResult:
+    signatures: DataFrame  # doc_id, shingles, sig, simhash
+    bands: DataFrame  # band_id, band_hash, doc_id
+    candidates: DataFrame  # doc_a, doc_b
+    verified: DataFrame  # doc_a, doc_b, jaccard
+    clusters: DataFrame  # doc_id, cluster_id
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    cfg: DedupConfig = DedupConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist_intermediates: bool = True,
+) -> DedupResult:
+    """The flagship near-dup pipeline. ``docs`` needs (id_col, text_col).
+
+    ``persist_intermediates`` caches the signature table (reused by both
+    the band stage and the verify join — without it Spark recomputes the
+    pandas-UDF MinHash twice).
+    """
+    sigs = with_signatures(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        cfg,
+    ).select("doc_id", "shingles", "sig", "simhash")
+    if persist_intermediates:
+        sigs = sigs.persist()
+    bands = band_table(sigs, cfg)
+    cands = candidate_pairs(bands, cfg)
+    verified = verify_pairs(cands, sigs, cfg)
+    clusters = connected_components(
+        verified,
+        all_vertices=sigs.select("doc_id"),
+        max_iterations=cfg.cc_max_iterations,
+    )
+    return DedupResult(sigs, bands, cands, verified, clusters)
+
+
+def exact_dedup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicates by content hash: (text_hash, n_docs, keep_doc_id).
+
+    md5 (not xxhash) so a DuckDB oracle can reproduce values bit-for-bit.
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(F.col(id_col)).alias("keep_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def exact_dup_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """All (doc_a, doc_b) with byte-identical text — equi-self-join on the
+    content hash (Catalyst plans a shuffled hash join; duplicate-heavy
+    keys are rare enough that AQE's skew split covers them)."""
+    h = docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("h"))
+    a = h.select(F.col("id").alias("doc_a"), "h")
+    b = h.select(F.col("id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+
+
+def simhash_dedup_pairs(
+    docs: DataFrame,
+    cfg: DedupConfig = DedupConfig(),
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs: block on rotated 16-bit chunks of the 64-bit
+    fingerprint (any pair within Hamming<=3 shares at least one of the 4
+    chunks exactly — pigeonhole), then verify Hamming exactly with
+    ``bit_count`` JVM-side. Returns (doc_a, doc_b, hamming)."""
+    sigs = with_signatures(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        cfg,
+    ).select("doc_id", "shingles", "simhash")
+    sigs = sigs.where(F.size("shingles") > 0)
+    n_chunks = max_hamming + 1  # pigeonhole blocks
+    width = 64 // n_chunks
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), c * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    blocks = sigs.select(
+        "doc_id", "simhash", F.posexplode(chunks).alias("chunk_id", "chunk_val")
+    )
+    a = blocks.select(
+        "chunk_id",
+        "chunk_val",
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+    )
+    b = blocks.select(
+        "chunk_id",
+        "chunk_val",
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+    )
+    return (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs_exact(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT n-gram-Jaccard pair search via a shingle inverted index —
+    no LSH, no approximation. Finds every pair with jaccard >= threshold
+    (any such pair shares >=1 shingle, so the inverted-index join is
+    lossless). This is the brute-force oracle of the reference's tests
+    (``brute_nn``, notebooks/lsh_forest.ipynb cell 1; utils.py:540-542)
+    expressed relationally — and doubles as a production operator for
+    corpora where exactness matters more than the extra shuffle.
+
+    Uses shingle *strings* (not hashes) so a DuckDB SQL oracle reproduces
+    it exactly. Returns (doc_a, doc_b, jaccard).
+    """
+    toks = tokens_col(F.col(text_col))
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingle_strings_col(toks, k)).alias("sh"),
+    ).where(F.col(text_col).isNotNull() & (F.length(F.col(text_col)) > 0))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the dedup workload.
+
+Local-mode testing config; the same settings (AQE, skew-join handling,
+Arrow) are what we would ship to a 1000-executor cluster — only
+``master`` / memory sizing / shuffle partitions change there.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "lshforest-dedup",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "24g",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-aware defaults.
+
+    * AQE on: runtime coalescing of the candidate-pair shuffle and skew-join
+      splitting for hot LSH buckets (boilerplate-heavy bands).
+    * Arrow on: every Python crossing is an Arrow batch (pandas UDFs).
+    * shuffle partitions default to the parallelism level so local runs
+      don't fragment into 200 tiny tasks; on a real cluster this would be
+      ~2-3x total cores (or left to AQE's coalescing).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] → N; local[*] → machine cores
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "*"
+        shuffle_partitions = cpus if inner == "*" else int(inner)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

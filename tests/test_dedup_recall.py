@@ -1,0 +1,134 @@
+"""The core correctness gate (north_rule): dup-pair recall >= 0.99 and
+cluster assignments matching the brute-force oracle's connected components
+on a planted near-duplicate corpus (the reference's planted-match pattern,
+notebooks/chamfer_approx_planted_match.ipynb cell 2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_forest_for_multi_vector_retrieval_spark.config import DedupConfig
+from lsh_forest_for_multi_vector_retrieval_spark.operators.dedup import (
+    exact_dup_pairs,
+    minhash_dedup,
+    ngram_jaccard_pairs_exact,
+    simhash_dedup_pairs,
+)
+from lsh_forest_for_multi_vector_retrieval_spark.sources.pages import (
+    generate_pages,
+    true_dup_pairs_oracle,
+)
+
+CFG = DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = generate_pages(
+        spark,
+        n_clusters=40,
+        cluster_size=4,
+        n_singletons=200,
+        n_exact_dups=20,
+        doc_len=120,
+        max_mutation=0.06,
+        seed=42,
+    ).persist()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def oracle_pairs(corpus):
+    pdf = corpus.select("doc_id", "text").toPandas()
+    return true_dup_pairs_oracle(pdf, threshold=CFG.jaccard_threshold, k=CFG.shingle_size)
+
+
+@pytest.fixture(scope="module")
+def result(corpus):
+    return minhash_dedup(corpus, CFG)
+
+
+def test_dup_pair_recall_ge_099(result, oracle_pairs):
+    got = {
+        (r.doc_a, r.doc_b) for r in result.verified.select("doc_a", "doc_b").collect()
+    }
+    assert oracle_pairs, "oracle found no dup pairs — fixture broken"
+    recall = len(got & oracle_pairs) / len(oracle_pairs)
+    assert recall >= 0.99, f"recall={recall:.4f} ({len(got & oracle_pairs)}/{len(oracle_pairs)})"
+
+
+def test_verified_pairs_have_no_false_positives(result, corpus, oracle_pairs):
+    # every verified pair must truly have jaccard >= threshold (verification
+    # is exact, so precision is 1.0 by construction — check it)
+    got = {
+        (r.doc_a, r.doc_b) for r in result.verified.select("doc_a", "doc_b").collect()
+    }
+    assert got <= oracle_pairs
+
+
+def test_cluster_assignments_match_oracle_components(result, oracle_pairs, corpus):
+    # oracle components = transitive closure of oracle pairs
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    all_ids = [r.doc_id for r in corpus.select("doc_id").collect()]
+    for d in all_ids:
+        find(d)
+    for a, b in oracle_pairs:
+        union(a, b)
+    oracle_label = {d: find(d) for d in all_ids}
+
+    got = {r.doc_id: r.cluster_id for r in result.clusters.collect()}
+    assert set(got) == set(oracle_label)
+    # same partition (labels are min-id in both constructions, so with
+    # recall 1.0 they agree exactly; allow the <=1% missed-pair slack by
+    # comparing partitions of docs whose pairs were all found)
+    mismatches = sum(1 for d in all_ids if got[d] != oracle_label[d])
+    assert mismatches / len(all_ids) <= 0.01, f"{mismatches}/{len(all_ids)} docs mislabeled"
+
+
+def test_exact_dups_land_in_same_cluster(result, corpus):
+    # byte-identical copies (jaccard 1.0) must always cluster together
+    dup_pairs = exact_dup_pairs(corpus).collect()
+    assert dup_pairs
+    labels = {r.doc_id: r.cluster_id for r in result.clusters.collect()}
+    for r in dup_pairs:
+        assert labels[r.doc_a] == labels[r.doc_b]
+
+
+def test_ngram_exact_operator_equals_oracle(corpus, oracle_pairs):
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs_exact(
+            corpus, threshold=CFG.jaccard_threshold, k=CFG.shingle_size
+        ).collect()
+    }
+    assert got == oracle_pairs  # exact operator: recall AND precision 1.0
+
+
+def test_simhash_pairs_catch_exact_dups(corpus):
+    got = simhash_dedup_pairs(corpus, CFG, max_hamming=3)
+    exact = exact_dup_pairs(corpus)
+    missing = exact.join(got, ["doc_a", "doc_b"], "left_anti").count()
+    assert missing == 0  # hamming 0 pairs always blocked together
+
+
+def test_idempotent_rerun(corpus):
+    # same input -> identical verified pairs (determinism across runs;
+    # north_rule reproducibility)
+    r1 = minhash_dedup(corpus, CFG).verified.select("doc_a", "doc_b", "jaccard")
+    r2 = minhash_dedup(corpus, CFG).verified.select("doc_a", "doc_b", "jaccard")
+    assert r1.exceptAll(r2).count() == 0
+    assert r2.exceptAll(r1).count() == 0

@@ -1,0 +1,108 @@
+"""Candidate-pair generation strategies + connected components."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_forest_for_multi_vector_retrieval_spark.config import DedupConfig
+from lsh_forest_for_multi_vector_retrieval_spark.operators.bands import (
+    adaptive_band_table,
+    band_table,
+    bucket_stats,
+    with_signatures,
+)
+from lsh_forest_for_multi_vector_retrieval_spark.operators.components import (
+    connected_components,
+)
+from lsh_forest_for_multi_vector_retrieval_spark.operators.pairs import (
+    candidate_pairs,
+    self_join_candidate_pairs,
+)
+from lsh_forest_for_multi_vector_retrieval_spark.operators.verify import (
+    verify_pairs,
+    verify_pairs_pandas,
+)
+from lsh_forest_for_multi_vector_retrieval_spark.sources.pages import generate_pages
+
+CFG = DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def sigs(spark):
+    pages = generate_pages(spark, n_clusters=15, cluster_size=3, n_singletons=60)
+    s = with_signatures(pages.select("doc_id", "text"), CFG).select(
+        "doc_id", "shingles", "sig", "simhash"
+    ).persist()
+    s.count()
+    return s
+
+
+def test_grouped_and_selfjoin_pairs_agree(sigs):
+    bands = band_table(sigs, CFG)
+    p1 = candidate_pairs(bands, CFG)
+    p2 = self_join_candidate_pairs(bands, CFG)
+    assert p1.exceptAll(p2).count() == 0
+    assert p2.exceptAll(p1).count() == 0
+
+
+def test_pairs_are_canonical_and_distinct(sigs):
+    pairs = candidate_pairs(band_table(sigs, CFG), CFG)
+    assert pairs.where(F.col("doc_a") >= F.col("doc_b")).count() == 0
+    assert pairs.count() == pairs.distinct().count()
+
+
+def test_band_count_invariant(sigs):
+    # every non-empty doc contributes exactly num_bands rows (F6/M8
+    # row-count-conservation analog)
+    bands = band_table(sigs, CFG)
+    n_docs = sigs.where(F.size("shingles") > 0).count()
+    assert bands.count() == n_docs * CFG.num_bands
+    per_doc = bands.groupBy("doc_id").count().select(F.collect_set("count")).first()[0]
+    assert per_doc == [CFG.num_bands]
+
+
+def test_verify_native_and_pandas_agree(sigs):
+    pairs = candidate_pairs(band_table(sigs, CFG), CFG)
+    v1 = verify_pairs(pairs, sigs, CFG).select("doc_a", "doc_b", "jaccard")
+    v2 = verify_pairs_pandas(pairs, sigs, CFG).select("doc_a", "doc_b", "jaccard")
+    assert v1.exceptAll(v2).count() == 0
+    assert v2.exceptAll(v1).count() == 0
+
+
+def test_adaptive_bands_cover_same_docs(spark, sigs):
+    small_cfg = DedupConfig(adaptive_max_bucket=2, adaptive_max_extra_rows=3)
+    ab = adaptive_band_table(sigs, small_cfg)
+    assert ab.select("doc_id").distinct().count() == sigs.where(
+        F.size("shingles") > 0
+    ).count()
+    # depth only grows
+    assert ab.where(F.col("depth") < small_cfg.rows_per_band).count() == 0
+    # diagnostics table runs
+    assert bucket_stats(ab).count() > 0
+
+
+def test_connected_components_known_graph(spark):
+    # components: {1,2,3,4}, {10,11}, isolated {20}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    vertices = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "doc_id long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(edges, vertices).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_long_chain(spark):
+    # a 30-node path exercises multi-round convergence + lineage truncation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    got = connected_components(edges)
+    assert got.select("cluster_id").distinct().count() == 1
+    assert got.count() == 31
+    assert got.agg(F.min("cluster_id")).first()[0] == 0

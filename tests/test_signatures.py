@@ -1,0 +1,123 @@
+"""MinHash / SimHash UDFs vs the NumPy oracle + LSH collision properties
+(the reference's Monte-Carlo property check, notebooks/lsh_forest.ipynb
+cell 1)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_forest_for_multi_vector_retrieval_spark.functions.minhash import (
+    EMPTY_SIG_FILL,
+    minhash_np,
+    minhash_params,
+    minhash_udf,
+)
+from lsh_forest_for_multi_vector_retrieval_spark.functions.simhash import (
+    hyperplane_simhash_udf,
+    simhash_np,
+    simhash_udf,
+)
+
+
+@pytest.fixture(scope="module")
+def shingle_rows():
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(40):
+        n = int(rng.randint(0, 50))
+        rows.append((i, rng.randint(-(2**62), 2**62, size=n).tolist()))
+    rows.append((99, []))  # empty doc
+    return rows
+
+
+def test_minhash_matches_numpy_oracle(spark, shingle_rows):
+    df = spark.createDataFrame(shingle_rows, "doc_id long, shingles array<long>")
+    mh = minhash_udf(num_perm=128, seed=42)
+    got = {r.doc_id: np.array(r.sig) for r in df.select("doc_id", mh("shingles").alias("sig")).collect()}
+    a, b = minhash_params(128, 42)
+    for doc_id, sh in shingle_rows:
+        expected = minhash_np(np.array(sh, dtype=np.int64), a, b)
+        assert np.array_equal(got[doc_id], expected), f"doc {doc_id}"
+
+
+def test_minhash_empty_doc_sentinel(spark):
+    df = spark.createDataFrame([(1, [])], "doc_id long, shingles array<long>")
+    mh = minhash_udf(8, 42)
+    sig = df.select(mh("shingles").alias("s")).first().s
+    assert all(v == EMPTY_SIG_FILL for v in sig)
+
+
+def test_minhash_similarity_estimate(spark):
+    # E[fraction of equal sig positions] = Jaccard (the MinHash property)
+    rng = np.random.RandomState(0)
+    base = rng.randint(0, 2**60, size=200).tolist()
+    # |A|=200, |B|=240, overlap 160 -> union 280 -> jaccard = 160/280 ≈ 0.571
+    other = base[:160] + rng.randint(2**60, 2**61, size=80).tolist()
+    df = spark.createDataFrame(
+        [(0, base), (1, other)], "doc_id long, shingles array<long>"
+    )
+    mh = minhash_udf(256, 42)
+    rows = df.select(mh("shingles").alias("sig")).collect()
+    s0, s1 = np.array(rows[0].sig), np.array(rows[1].sig)
+    est = (s0 == s1).mean()
+    true_j = 160 / 280
+    assert abs(est - true_j) < 0.1
+
+
+def test_simhash_matches_numpy_oracle(spark, shingle_rows):
+    df = spark.createDataFrame(shingle_rows, "doc_id long, shingles array<long>")
+    sh = simhash_udf()
+    got = {r.doc_id: r.h for r in df.select("doc_id", sh("shingles").alias("h")).collect()}
+    for doc_id, s in shingle_rows:
+        assert got[doc_id] == int(simhash_np(np.array(s, dtype=np.int64))), f"doc {doc_id}"
+
+
+def test_simhash_near_texts_low_hamming(spark):
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 2**61, size=300)
+    near = base.copy()
+    near[:15] = rng.randint(0, 2**61, size=15)  # 5% changed
+    far = rng.randint(0, 2**61, size=300)
+    df = spark.createDataFrame(
+        [(0, base.tolist()), (1, near.tolist()), (2, far.tolist())],
+        "doc_id long, shingles array<long>",
+    )
+    sh = simhash_udf()
+    h = {r.doc_id: r.h for r in df.select("doc_id", sh("shingles").alias("h")).collect()}
+    ham_near = bin((h[0] ^ h[1]) & (2**64 - 1)).count("1")
+    ham_far = bin((h[0] ^ h[2]) & (2**64 - 1)).count("1")
+    assert ham_near < 10
+    assert ham_far > 15
+
+
+def test_hyperplane_simhash_cosine_property(spark):
+    # near-collinear vectors collide on most bits; orthogonal ~half
+    rng = np.random.RandomState(5)
+    v = rng.standard_normal(64)
+    v /= np.linalg.norm(v)
+    near = v + 0.05 * rng.standard_normal(64)
+    near /= np.linalg.norm(near)
+    far = rng.standard_normal(64)
+    far /= np.linalg.norm(far)
+    df = spark.createDataFrame(
+        [(0, v.tolist()), (1, near.tolist()), (2, far.tolist())],
+        "vec_id long, embedding array<float>",
+    )
+    hp = hyperplane_simhash_udf(dim=64, bits=64, seed=42)
+    h = {r.vec_id: r.h for r in df.select("vec_id", hp("embedding").alias("h")).collect()}
+    ham_near = bin((h[0] ^ h[1]) & (2**64 - 1)).count("1")
+    ham_far = bin((h[0] ^ h[2]) & (2**64 - 1)).count("1")
+    assert ham_near < ham_far
+
+
+def test_udf_deterministic_across_partitionings(spark, shingle_rows):
+    # same results at 1 partition and 8 partitions (executor determinism —
+    # the north_rule reproducibility requirement)
+    mh = minhash_udf(64, 42)
+    df1 = spark.createDataFrame(shingle_rows, "doc_id long, shingles array<long>").coalesce(1)
+    df8 = spark.createDataFrame(shingle_rows, "doc_id long, shingles array<long>").repartition(8)
+    r1 = {r.doc_id: tuple(r.sig) for r in df1.select("doc_id", mh("shingles").alias("sig")).collect()}
+    r8 = {r.doc_id: tuple(r.sig) for r in df8.select("doc_id", mh("shingles").alias("sig")).collect()}
+    assert r1 == r8
