@@ -1,38 +1,511 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship near-dup pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB twin for every SQL-expressible one.
+Column names/types are aligned on both sides (counts cast to bigint,
+ratios as exact integer divisions) so the driver's order-insensitive
+value-hash matches bit-for-bit.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from lsh_forest_for_multi_vector_retrieval_spark.config import DedupConfig
+from lsh_forest_for_multi_vector_retrieval_spark.functions.text_stats import (
+    doc_fingerprints,
+    lang_id_scores,
+    quality_features,
+)
+from lsh_forest_for_multi_vector_retrieval_spark.functions.vectors import dot_col, norm_col
+from lsh_forest_for_multi_vector_retrieval_spark.operators.ann import lsh_topk
+from lsh_forest_for_multi_vector_retrieval_spark.operators.bands import (
+    bucket_stats,
+    band_table,
+    with_signatures,
+)
+from lsh_forest_for_multi_vector_retrieval_spark.operators.components import (
+    cluster_stats,
+)
+from lsh_forest_for_multi_vector_retrieval_spark.operators.dedup import (
+    exact_dedup_groups,
+    exact_dup_pairs,
+    minhash_dedup,
+    ngram_jaccard_pairs_exact,
+    simhash_dedup_pairs,
+)
+from lsh_forest_for_multi_vector_retrieval_spark.operators.forest_vote import (
+    forest_vote_scores,
+    get_top_k,
+)
+
+CFG = DedupConfig()
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: MinHash-LSH near-dup clustering of sf0.001 documents."""
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    res = minhash_dedup(docs, CFG)
+    return res.clusters.join(
+        res.verified.selectExpr("doc_a as doc_id", "jaccard"), "doc_id", "left"
+    ).groupBy("doc_id", "cluster_id").agg(
+        F.max("jaccard").alias("best_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(_docs(spark, sf_dir)).select(
+        "text_hash",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("keep_doc_id").cast("long").alias("keep_doc_id"),
+    )
+
+
+def q_exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_pairs(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs_exact(_docs(spark, sf_dir), threshold=0.8, k=5)
+
+
+def q_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.shingles import (
+        shingle_strings_col,
+        tokens_col,
+    )
+
+    d = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    return d.where(F.length("text") > 0).select(
+        "doc_id",
+        F.size(shingle_strings_col(toks, 5)).cast("long").alias("n_shingles"),
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qf = quality_features(_docs(spark, sf_dir))
+    return qf.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "mean_token_len",
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qf = quality_features(_docs(spark, sf_dir))
+    return qf.select(
+        "doc_id",
+        F.col("n_punct").cast("long").alias("n_punct"),
+        "punct_ratio",
+        "stopword_ratio",
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = lang_id_scores(_docs(spark, sf_dir))
+    return li.select(
+        "doc_id",
+        F.col("en_hits").cast("long").alias("en_hits"),
+        F.col("es_hits").cast("long").alias("es_hits"),
+        F.col("de_hits").cast("long").alias("de_hits"),
+        F.col("fr_hits").cast("long").alias("fr_hits"),
+        "pred_lang",
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprints(_docs(spark, sf_dir))
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-agg with pushdown (relational-op coverage)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("double")), 2).alias("sum_qty"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("double")
+                    * (1 - F.col("l_discount").cast("double"))
+                ),
+                2,
+            ).alias("sum_disc_price"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_top_nations_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join + agg + order/limit (broadcast the dims)."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            # rounded: double sums are reduction-order-sensitive in the last
+            # ulp, so the query itself emits a stable rounded value
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("double")
+                    * (1 - F.col("l_discount").cast("double"))
+                ),
+                2,
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+        )
+    )
+    return rev
+
+
+def q_customer_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: top-3 orders per customer by price (S6/R-ops)."""
+    from pyspark.sql import Window
+
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events agg incl. JSON scalar extraction (events.props)."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("double")), 2).alias("total_value"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+def q_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op / anti-join: parts with no lineitem (EXCEPT shape)."""
+    p = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem")
+    return p.select("p_partkey").exceptAll(
+        li.select(F.col("l_partkey").alias("p_partkey"))
+    ).distinct()
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors, rounded to 6dp
+    (identical double fold order on both engines)."""
+    from pyspark.sql import Window
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                dot_col(F.col("q_vec"), F.col("n_vec"))
+                / (norm_col(F.col("q_vec")) * norm_col(F.col("n_vec"))),
+                6,
+            ).alias("cosine_r"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_r"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "n_id", "cosine_r", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# --- non-SQL-expressible ops (rows-only checks) ---
+
+def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_dedup(_docs(spark, sf_dir), CFG).verified
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_dedup(_docs(spark, sf_dir), CFG).clusters
+
+
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cluster_stats(minhash_dedup(_docs(spark, sf_dir), CFG).clusters)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_dedup_pairs(_docs(spark, sf_dir), CFG, max_hamming=3)
+
+
+def q_band_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = with_signatures(_docs(spark, sf_dir).select("doc_id", "text"), CFG)
+    return bucket_stats(band_table(sigs, CFG))
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20)
+    return lsh_topk(emb, qs, k=10, dim=64, bits=64, n_chunks=16)
+
+
+def q_forest_vote_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sigs = with_signatures(docs.select("doc_id", "text"), CFG).select(
+        "doc_id", "shingles", "sig"
+    ).persist()
+    queries_side = sigs.where(F.col("doc_id") < 20)
+    corpus_side = sigs.where(F.col("doc_id") >= 20)
+    scores = forest_vote_scores(corpus_side, queries_side, CFG)
+    return get_top_k(scores, k=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "exact_dup_groups": q_exact_dup_groups,
+        "exact_dup_pairs": q_exact_dup_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "shingle_counts": q_shingle_counts,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "pricing_summary": q_pricing_summary,
+        "top_nations_by_revenue": q_top_nations_by_revenue,
+        "customer_top_orders": q_customer_top_orders,
+        "events_type_stats": q_events_type_stats,
+        "parts_never_ordered": q_parts_never_ordered,
+        "embedding_topk": q_embedding_topk,
+        # rows-only (approximate / iterative — no SQL twin)
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
+        "simhash_pairs": q_simhash_pairs,
+        "band_bucket_stats": q_band_bucket_stats,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "forest_vote_topk": q_forest_vote_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+
+_SHINGLES_CTE = f"""
+toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(t) >= 5
+         THEN list_transform(generate_series(1, len(t) - 4),
+                             i -> array_to_string(t[i:i+4], ' '))
+         ELSE [array_to_string(t, ' ')] END) AS sh
+  FROM toks WHERE len(t) >= 1
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dup_groups": """
+            SELECT md5(text) AS text_hash,
+                   count(*)::BIGINT AS n_docs,
+                   min(doc_id)::BIGINT AS keep_doc_id
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "exact_dup_pairs": """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM documents a JOIN documents b ON md5(a.text) = md5(b.text)
+            WHERE a.doc_id < b.doc_id
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   i::DOUBLE / (sa.n_sh + sb.n_sh - i)::DOUBLE AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i)::DOUBLE >= 0.8
+        """,
+        "shingle_counts": f"""
+            WITH {_SHINGLES_CTE}
+            SELECT doc_id, count(*)::BIGINT AS n_shingles FROM sh GROUP BY doc_id
+        """,
+        "token_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(t)::BIGINT AS n_tokens,
+                   length(text)::BIGINT AS n_chars,
+                   CASE WHEN len(t) > 0
+                        THEN (length(text) - (len(t) - 1))::DOUBLE / len(t)::DOUBLE
+                        ELSE 0.0 END AS mean_token_len
+            FROM toks
+        """,
+        "quality_scores": """
+            WITH q AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS t,
+                     length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS np
+              FROM documents
+            )
+            SELECT doc_id,
+                   np::BIGINT AS n_punct,
+                   CASE WHEN length(text) > 0
+                        THEN np::DOUBLE / length(text)::DOUBLE ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN len(t) > 0
+                        THEN len(list_filter(list_transform(t, x -> lower(x)),
+                             x -> x IN ('the','and','of','to','a','in','is','that','it','for')))::DOUBLE
+                             / len(t)::DOUBLE
+                        ELSE 0.0 END AS stopword_ratio
+            FROM q
+        """,
+        "lang_id": """
+            WITH q AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents
+            ), hits AS (
+              SELECT doc_id, len(t) AS n_tok,
+                len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is','that','it','for')))::BIGINT AS en_hits,
+                len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','los','se','no')))::BIGINT AS es_hits,
+                len(list_filter(t, x -> x IN ('der','die','und','das','in','von','zu','den','mit','ist')))::BIGINT AS de_hits,
+                len(list_filter(t, x -> x IN ('le','la','de','et','les','des','un','une','du','est')))::BIGINT AS fr_hits
+              FROM q
+            )
+            SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+                   CASE WHEN n_tok = 0 THEN 'unknown'
+                        WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                        WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+                        WHEN de_hits >= fr_hits THEN 'de'
+                        ELSE 'fr' END AS pred_lang
+            FROM hits
+        """,
+        "doc_fingerprints": """
+            WITH q AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN len(t) > 0 THEN
+                     (list_sum(list_transform(generate_series(1, len(t)),
+                        i -> i::BIGINT * (ascii(t[i][1:1])::BIGINT + length(t[i])::BIGINT)))
+                      % 1000000007)::BIGINT
+                   ELSE 0 END AS fingerprint
+            FROM q
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity::DOUBLE), 2) AS sum_qty,
+                   round(sum(l_extendedprice::DOUBLE * (1 - l_discount::DOUBLE)), 2) AS sum_disc_price,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_nations_by_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice::DOUBLE * (1 - l_discount::DOUBLE)), 2) AS revenue,
+                   count(DISTINCT o_orderkey)::BIGINT AS n_orders
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "customer_top_orders": """
+            SELECT o_custkey, o_orderkey, o_totalprice::DOUBLE AS o_totalprice, rn::BIGINT AS rn
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders
+            ) WHERE rn <= 3
+        """,
+        "events_type_stats": """
+            SELECT event_type,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value::DOUBLE), 2) AS total_value,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "parts_never_ordered": """
+            SELECT DISTINCT p_partkey FROM part
+            WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+            scored AS (
+              SELECT q_id, n_id,
+                round(
+                  list_sum(list_transform(generate_series(1, len(q_vec)),
+                           i -> q_vec[i]::DOUBLE * n_vec[i]::DOUBLE))
+                  / (sqrt(list_sum(list_transform(q_vec, x -> x::DOUBLE * x::DOUBLE)))
+                   * sqrt(list_sum(list_transform(n_vec, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cosine_r
+              FROM q, c WHERE q_id <> n_id
+            )
+            SELECT q_id, n_id, cosine_r, rank FROM (
+              SELECT q_id, n_id, cosine_r,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cosine_r DESC, n_id ASC)::BIGINT AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+    }

@@ -1,0 +1,157 @@
+"""Depth-weighted forest voting — the reference's flagship ranking
+(``ForestVote``, /root/reference/src/shared/forest_vote.py) re-expressed
+in closed relational form.
+
+The reference walks each trie root-to-leaf and credits documents at the
+depth where they first co-occur with the query
+(``_score_node``/``_score_tree``, forest_vote.py:175-288). With fixed
+signatures the "first-seen depth" is simply the length of the longest
+common signature prefix inside each tree — a join on per-depth prefix
+hashes followed by a max. The path-walk and seen-set bookkeeping are
+artifacts of pointer tries and disappear (SURVEY §2.6 S3).
+
+Scoring stages (forest_vote.py:290-338 ``query``):
+  per (query, doc, tree): w(depth) * popularity_idf
+  -> per-tree max-normalize (window)  [:309-315]
+  -> sum over trees                   [:329-332 analog]
+  -> per-query max-normalize (window) [:322-327]
+Depth weights (``_depth_weight``, :156-166): exponential gamma^l,
+linear (l+1)/(L+1), logistic 1/(1+exp(alpha*(k-l))).
+Popularity weight (``_popularity_weight``, :168-173):
+log1p(n_docs/|docs at node|)^beta.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lsh_forest_for_multi_vector_retrieval_spark.config import DedupConfig
+
+
+def prefix_table(
+    sigs: DataFrame,
+    cfg: DedupConfig = DedupConfig(),
+    id_col: str = "doc_id",
+    max_depth: int | None = None,
+) -> DataFrame:
+    """Per-depth trie-node table: (doc_id, band_id, depth, prefix_hash)
+    for every depth 1..max_depth of every band — the materialized form of
+    "every node on the doc's root-to-leaf path" (forest_vote.py:236-288).
+    """
+    r = max_depth or cfg.rows_per_band
+    entries = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(cfg.num_bands - 1)),
+            lambda b: F.transform(
+                F.sequence(F.lit(1), F.lit(r)),
+                lambda d: F.struct(
+                    b.cast("int").alias("band_id"),
+                    d.cast("int").alias("depth"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * cfg.rows_per_band + F.lit(1), d)
+                    ).alias("prefix_hash"),
+                ),
+            ),
+        )
+    )
+    return sigs.select(
+        F.col(id_col).alias("doc_id"), F.explode(entries).alias("e")
+    ).select("doc_id", "e.band_id", "e.depth", "e.prefix_hash")
+
+
+def depth_weight_col(depth, scheme: str, max_depth: int, gamma: float, alpha: float):
+    if scheme == "exponential":
+        return F.pow(F.lit(gamma), depth.cast("double"))
+    if scheme == "linear":
+        return F.least(
+            (depth.cast("double") + 1.0) / (max_depth + 1.0), F.lit(1.0)
+        )
+    if scheme == "logistic":
+        k = max_depth / 2.0
+        return 1.0 / (1.0 + F.exp(F.lit(alpha) * (F.lit(k) - depth.cast("double"))))
+    raise ValueError(f"unknown depth-weight scheme: {scheme}")
+
+
+def forest_vote_scores(
+    corpus_sigs: DataFrame,
+    query_sigs: DataFrame,
+    cfg: DedupConfig = DedupConfig(),
+    scheme: str = "exponential",
+    gamma: float = 0.8,
+    alpha: float = 0.5,
+    beta: float = 0.4,
+    use_popularity: bool = True,
+    skip_root: bool = True,
+    weight_floor: float = 0.0,
+) -> DataFrame:
+    """(query_id, doc_id, score): depth-weighted, popularity-penalized,
+    per-tree- and per-query-normalized vote scores.
+
+    ``skip_root`` (forest_vote.py:279-280) drops depth-0; here depth
+    starts at 1, so it filters nothing unless disabled semantics change.
+    ``weight_floor`` (forest_vote.py:202-204) prunes negligible weights
+    — a pushed-down predicate.
+    """
+    corpus_pref = prefix_table(corpus_sigs, cfg)
+    query_pref = prefix_table(query_sigs, cfg).withColumnRenamed(
+        "doc_id", "query_id"
+    )
+
+    # popularity: docs per trie node (forest_vote.py:91 doc_counts)
+    node_pop = corpus_pref.groupBy("band_id", "depth", "prefix_hash").agg(
+        F.count("*").alias("node_docs")
+    )
+    n_docs = corpus_sigs.count()
+
+    joined = query_pref.join(
+        corpus_pref, ["band_id", "depth", "prefix_hash"]
+    ).where(F.col("query_id") != F.col("doc_id"))
+    # first-seen depth == deepest shared prefix per (query, doc, tree);
+    # keep the node id so popularity can be attached at that node
+    deepest_nodes = joined.groupBy("query_id", "doc_id", "band_id").agg(
+        F.max(F.struct("depth", "prefix_hash")).alias("m")
+    ).select(
+        "query_id", "doc_id", "band_id", F.col("m.depth").alias("depth"),
+        F.col("m.prefix_hash").alias("prefix_hash"),
+    )
+    if skip_root:
+        deepest_nodes = deepest_nodes.where(F.col("depth") >= 1)
+    scored = deepest_nodes.join(node_pop, ["band_id", "depth", "prefix_hash"], "left")
+
+    w = depth_weight_col(F.col("depth"), scheme, cfg.rows_per_band, gamma, alpha)
+    if weight_floor > 0.0:
+        scored = scored.where(w > weight_floor)
+    if use_popularity:
+        pop = F.pow(
+            F.log1p(F.lit(float(n_docs)) / F.coalesce(F.col("node_docs"), F.lit(1)).cast("double")),
+            F.lit(beta),
+        )
+        contrib = (w * pop).alias("contrib")
+    else:
+        contrib = w.alias("contrib")
+    per_tree = scored.select("query_id", "doc_id", "band_id", contrib)
+
+    # per-tree max-normalization (forest_vote.py:309-315)
+    tree_w = Window.partitionBy("query_id", "band_id")
+    per_tree = per_tree.withColumn(
+        "norm_contrib", F.col("contrib") / F.max("contrib").over(tree_w)
+    )
+    summed = per_tree.groupBy("query_id", "doc_id").agg(
+        F.sum("norm_contrib").alias("raw_score")
+    )
+    # per-query max-normalization (forest_vote.py:322-327)
+    qw = Window.partitionBy("query_id")
+    return summed.select(
+        "query_id",
+        "doc_id",
+        (F.col("raw_score") / F.max("raw_score").over(qw)).alias("score"),
+    )
+
+
+def get_top_k(scores: DataFrame, k: int = 10) -> DataFrame:
+    """heapq.nlargest analog (forest_vote.py:340-343): per-query top-k by
+    score, deterministic tie-break on doc_id -> TakeOrderedAndProject /
+    per-partition partial top-k under the window."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return scores.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

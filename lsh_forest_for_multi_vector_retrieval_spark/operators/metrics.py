@@ -1,0 +1,114 @@
+"""Evaluation metrics (SURVEY §2.7, ops M1-M5) as DataFrame functions.
+
+Reference analogs: ``recall`` (/root/reference/src/shared/utils.py:79-87),
+rank-of-true-NN (src/shared/test_query.py:108-144), top-k accuracy
+(src/shared/test_forest_vote.py:313-322), score correlation (:262-279),
+MRR@10 / Recall@100 (notebooks/plaid.ipynb cell 10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pair_recall(predicted: DataFrame, truth: DataFrame) -> float:
+    """|pred ∩ truth| / |truth| over canonical (doc_a, doc_b) pair sets —
+    the north_rule's dup-pair recall, via a left-semi join (no collect of
+    the pair sets)."""
+    t = truth.select("doc_a", "doc_b").distinct()
+    n_truth = t.count()
+    if n_truth == 0:
+        return 1.0
+    hit = t.join(
+        predicted.select("doc_a", "doc_b").distinct(), ["doc_a", "doc_b"], "left_semi"
+    ).count()
+    return hit / n_truth
+
+
+def pair_precision(predicted: DataFrame, truth: DataFrame) -> float:
+    p = predicted.select("doc_a", "doc_b").distinct()
+    n_pred = p.count()
+    if n_pred == 0:
+        return 1.0
+    hit = p.join(
+        truth.select("doc_a", "doc_b").distinct(), ["doc_a", "doc_b"], "left_semi"
+    ).count()
+    return hit / n_pred
+
+
+def recall_at_k(
+    predicted: DataFrame,
+    truth: DataFrame,
+    k: int,
+    query_col: str = "q_id",
+    item_col: str = "n_id",
+    score_col: str = "cosine",
+) -> DataFrame:
+    """Per-query |top-k_pred ∩ top-k_true| / k (utils.py:79-87). Both
+    inputs are (query, item, score); ranking happens here so callers pass
+    raw scored candidates."""
+
+    def topk(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(query_col).orderBy(F.desc(score_col), F.asc(item_col))
+        return (
+            df.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= k)
+            .select(query_col, item_col)
+        )
+
+    p, t = topk(predicted), topk(truth)
+    hits = p.join(t, [query_col, item_col], "inner").groupBy(query_col).agg(
+        F.count("*").alias("hits")
+    )
+    base = t.groupBy(query_col).agg(F.count("*").alias("n_true"))
+    return base.join(hits, query_col, "left").select(
+        query_col,
+        (F.coalesce("hits", F.lit(0)).cast("double") / F.col("n_true")).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+def rank_of_true_nn(
+    predicted_ranks: DataFrame,
+    true_nn: DataFrame,
+    query_col: str = "q_id",
+    item_col: str = "n_id",
+) -> DataFrame:
+    """Where does the true NN land in the predicted ranking?
+    (test_query.py:108-144). predicted_ranks: (q, item, rank);
+    true_nn: (q, item). Missing -> null rank."""
+    return true_nn.join(
+        predicted_ranks.select(query_col, item_col, "rank"),
+        [query_col, item_col],
+        "left",
+    )
+
+
+def mrr_at_k(
+    predicted_ranks: DataFrame,
+    relevant: DataFrame,
+    k: int = 10,
+    query_col: str = "q_id",
+    item_col: str = "n_id",
+) -> float:
+    """MRR@k over a qrels-style relevance table (plaid.ipynb cell 10)."""
+    first_rel = (
+        predicted_ranks.where(F.col("rank") <= k)
+        .join(relevant, [query_col, item_col], "left_semi")
+        .groupBy(query_col)
+        .agg(F.min("rank").alias("first_rank"))
+    )
+    n_q = predicted_ranks.select(query_col).distinct().count()
+    if n_q == 0:
+        return 0.0
+    s = first_rel.agg(F.sum(1.0 / F.col("first_rank"))).first()[0] or 0.0
+    return s / n_q
+
+
+def score_correlation(
+    scores: DataFrame, col_a: str, col_b: str
+) -> float:
+    """Pearson r between two score columns (test_forest_vote.py:262-279)."""
+    return scores.agg(F.corr(col_a, col_b)).first()[0]

@@ -1,0 +1,173 @@
+"""ANN (brute-force + LSH), chamfer scoring, forest-vote ranking, metrics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_forest_for_multi_vector_retrieval_spark.config import DedupConfig
+from lsh_forest_for_multi_vector_retrieval_spark.operators.ann import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+from lsh_forest_for_multi_vector_retrieval_spark.operators.bands import with_signatures
+from lsh_forest_for_multi_vector_retrieval_spark.operators.chamfer import (
+    best_document,
+    chamfer_distance,
+    chamfer_scores,
+    rank_documents,
+)
+from lsh_forest_for_multi_vector_retrieval_spark.operators.forest_vote import (
+    forest_vote_scores,
+    get_top_k,
+)
+from lsh_forest_for_multi_vector_retrieval_spark.operators.metrics import (
+    mrr_at_k,
+    pair_precision,
+    pair_recall,
+    recall_at_k,
+    score_correlation,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+    df.count()
+    return df
+
+
+def test_brute_force_topk_matches_numpy(spark, embeddings):
+    pdf = embeddings.orderBy("vec_id").toPandas()
+    mat = np.stack(pdf["embedding"].map(np.asarray))
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    cos = (mat @ mat.T) / np.outer(norms, norms)
+    np.fill_diagonal(cos, -np.inf)
+
+    queries = embeddings.where(F.col("vec_id") < 5)
+    got = brute_force_topk(embeddings, queries, k=3).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.n_id))
+    for q in range(5):
+        want = ids[np.argsort(-cos[q])[:3]].tolist()
+        have = [n for _, n in sorted(by_q[q])]
+        assert have == want, f"q={q}: {have} != {want}"
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, embeddings):
+    queries = embeddings.where(F.col("vec_id") < 50)
+    bf = brute_force_topk(embeddings, queries, k=10)
+    approx = lsh_topk(embeddings, queries, k=10, dim=64, bits=64, n_chunks=16)
+    r = recall_at_k(
+        approx.select("q_id", "n_id", "cosine"),
+        bf.select("q_id", "n_id", "cosine"),
+        k=10,
+    )
+    mean_recall = r.agg(F.avg("recall_at_k")).first()[0]
+    # 16 blocks x 4 bits measures ~0.90 on this fixture (true top-10
+    # averages cosine 0.30 — hard neighbors); the reference's recursive
+    # forest sits at 0.21-0.38 Recall@100 (BASELINE.md)
+    assert mean_recall > 0.8, mean_recall
+
+
+def test_embedding_near_dup_pairs_finds_planted(spark):
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal(64).astype(np.float32)
+    near = base + 0.01 * rng.standard_normal(64).astype(np.float32)
+    far = rng.standard_normal(64).astype(np.float32)
+    df = spark.createDataFrame(
+        [(0, base.tolist()), (1, near.tolist()), (2, far.tolist())],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r.doc_a, r.doc_b) for r in embedding_near_dup_pairs(df, 0.99).collect()}
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_chamfer_hand_computed(spark):
+    # reference fixture style (chamfer_approximation.ipynb cell 1):
+    # doc A = {(1,0),(0,1)}, queries = {(1,0),(1,1)}
+    # chamfer(A) = max(1,0) + max(1,1) = 1 + 1 = 2
+    docs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0]), (2, [0.0, -1.0])],
+        "doc_id long, embedding array<float>",
+    )
+    qs = spark.createDataFrame(
+        [([1.0, 0.0],), ([1.0, 1.0],)], "embedding array<float>"
+    )
+    got = {r.doc_id: r.chamfer for r in chamfer_scores(docs, qs).collect()}
+    assert got[1] == pytest.approx(2.0)
+    # doc 2 dots: q1·(-1,0)=-1, q1·(0,-1)=0 -> max 0; q2·(-1,0)=-1, q2·(0,-1)=-1 -> max -1
+    assert got[2] == pytest.approx(0.0 + -1.0)
+
+
+def test_chamfer_distance_hand_computed(spark):
+    a = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (1, [3.0, 4.0])], "doc_id long, embedding array<float>"
+    )
+    b = spark.createDataFrame([([0.0, 0.0],)], "embedding array<float>")
+    got = chamfer_distance(a, b).first()
+    assert got.chamfer_dist == pytest.approx((0.0 + 5.0) / 2)
+
+
+def test_rank_and_best_document(spark):
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1)], "doc_id long, chamfer double"
+    )
+    ranked = {r.doc_id: r.rank for r in rank_documents(scores).collect()}
+    assert ranked == {2: 1, 3: 2, 1: 3, 4: 4}  # tie broken by doc_id
+    assert best_document(scores).first().doc_id == 2
+
+
+def test_forest_vote_ranks_planted_duplicate_first(spark):
+    # planted-match correctness (chamfer_approx_planted_match.ipynb cells
+    # 2,4-5): the near-duplicate must rank #1 for its query
+    from lsh_forest_for_multi_vector_retrieval_spark.sources.pages import generate_pages
+
+    pages = generate_pages(
+        spark, n_clusters=8, cluster_size=2, n_singletons=40, max_mutation=0.05
+    )
+    cfg = DedupConfig()
+    sigs = with_signatures(pages.select("doc_id", "text"), cfg).select(
+        "doc_id", "shingles", "sig"
+    ).persist()
+    # queries = the mutated cluster members (odd ids < 16); their planted
+    # base is doc_id-1
+    queries = sigs.where((F.col("doc_id") < 16) & (F.col("doc_id") % 2 == 1))
+    corpus = sigs.where((F.col("doc_id") % 2 == 0) | (F.col("doc_id") >= 16))
+    scores = forest_vote_scores(corpus, queries, cfg)
+    top1 = get_top_k(scores, k=1).collect()
+    assert len(top1) == 8
+    for r in top1:
+        assert r.doc_id == r.query_id - 1, f"query {r.query_id} ranked {r.doc_id} first"
+        assert r.score == pytest.approx(1.0)  # max-normalized
+
+
+def test_pair_recall_precision(spark):
+    pred = spark.createDataFrame([(1, 2), (3, 4), (5, 6)], "doc_a long, doc_b long")
+    truth = spark.createDataFrame([(1, 2), (3, 4), (7, 8)], "doc_a long, doc_b long")
+    assert pair_recall(pred, truth) == pytest.approx(2 / 3)
+    assert pair_precision(pred, truth) == pytest.approx(2 / 3)
+
+
+def test_mrr(spark):
+    ranks = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q2", 12, 1), ("q2", 13, 2)],
+        "q_id string, n_id long, rank int",
+    )
+    rel = spark.createDataFrame([("q1", 11), ("q2", 99)], "q_id string, n_id long")
+    # q1: first relevant at rank 2 -> 1/2; q2: none -> 0; MRR = 0.25
+    assert mrr_at_k(ranks, rel, k=10) == pytest.approx(0.25)
+
+
+def test_score_correlation(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 6.1)], "a double, b double"
+    )
+    assert score_correlation(df, "a", "b") > 0.99
