@@ -91,15 +91,12 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lsh_forest_for_multi_vector_retrieval_spark.functions.shingles import (
-        shingle_strings_col,
-        tokens_col,
+        with_shingle_strings,
     )
 
-    d = _docs(spark, sf_dir)
-    toks = tokens_col(F.col("text"))
-    return d.where(F.length("text") > 0).select(
-        "doc_id",
-        F.size(shingle_strings_col(toks, 5)).cast("long").alias("n_shingles"),
+    d = _docs(spark, sf_dir).where(F.length("text") > 0)
+    return with_shingle_strings(d).select(
+        "doc_id", F.size("shingle_strs").cast("long").alias("n_shingles")
     )
 
 

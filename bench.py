@@ -1,0 +1,201 @@
+"""Benchmark driver.
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+--scaling: the north_rule's two-cluster-size criterion, sandbox stand-in —
+run the identical flagship dedup job at local[8] and local[32] on the same
+deterministic 40k-doc corpus (fresh JVM per parallelism level, spawned as
+subprocesses) and report docs/sec at both plus scaling efficiency
+(T8/T32)/(32/8). Results land in BENCH_SCALING.json and are summarized in
+BASELINE.md.
+
+--single-run N: internal helper for --scaling (one measurement at local[N]).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_CORPUS = os.environ.get(
+    "SPARK_GRAFT_BENCH_CORPUS", "/tmp/spark_graft_bench/pages_40k.parquet"
+)
+BENCH_DOCS = 40_000
+
+
+def _spark(cpus: int):
+    from lsh_forest_for_multi_vector_retrieval_spark.session import get_spark
+
+    return get_spark(
+        app_name="lshforest-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        driver_memory="48g",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+
+def _ensure_bench_corpus(spark) -> str:
+    """Deterministic planted-dup corpus (seed 42) for the scaling runs —
+    byte-identical regardless of parallelism (per-row seeding)."""
+    p = Path(BENCH_CORPUS)
+    if (p / "_SUCCESS").exists():
+        return str(p)
+    from lsh_forest_for_multi_vector_retrieval_spark.sources.pages import generate_pages
+
+    n_clusters = BENCH_DOCS // 20  # 10% of docs in dup clusters of 2
+    df = generate_pages(
+        spark,
+        n_clusters=n_clusters,
+        cluster_size=2,
+        n_exact_dups=n_clusters // 10,
+        n_singletons=BENCH_DOCS - 2 * n_clusters - n_clusters // 10,
+        doc_len=150,
+        seed=42,
+        partitions=64,
+    ).select("doc_id", "text")
+    df.write.mode("overwrite").parquet(str(p))
+    return str(p)
+
+
+def _flagship(spark, docs):
+    """The end-to-end dedup job used for both headline and scaling runs."""
+    from lsh_forest_for_multi_vector_retrieval_spark.config import DedupConfig
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.dedup import minhash_dedup
+
+    res = minhash_dedup(docs, DedupConfig())
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    n_pairs = res.verified.count()
+    res.signatures.unpersist()
+    return n_clusters, n_pairs
+
+
+def run_headline() -> dict:
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.substring import (
+        substring_dup_pairs,
+    )
+
+    spark = _spark(CPUS)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()  # warms the JVM + page cache
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn, reps: int = 2):
+        # best-of-N: the sandbox VM is bursty and rep 1 absorbs Python
+        # worker spin-up; the min is the steady-state cost
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    timed("dedup_e2e", lambda: _flagship(spark, docs))
+    timed(
+        "exact_dedup",
+        lambda: em.q_exact_dup_groups(spark, SF_DIR).count(),
+    )
+    timed(
+        "ngram_jaccard_exact",
+        lambda: em.q_ngram_jaccard_pairs(spark, SF_DIR).count(),
+    )
+    timed("simhash_pairs", lambda: em.q_simhash_pairs(spark, SF_DIR).count())
+    timed(
+        "substring_pairs",
+        lambda: substring_dup_pairs(docs, gram=32, window=16).count(),
+    )
+    timed("pricing_summary", lambda: em.q_pricing_summary(spark, SF_DIR).count())
+    timed(
+        "top_nations_by_revenue",
+        lambda: em.q_top_nations_by_revenue(spark, SF_DIR).count(),
+    )
+    timed("customer_top_orders", lambda: em.q_customer_top_orders(spark, SF_DIR).count())
+    timed("lsh_ann_topk", lambda: em.q_lsh_ann_topk(spark, SF_DIR).count())
+    timed("forest_vote_topk", lambda: em.q_forest_vote_topk(spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "n_docs": n_docs,
+        "dedup_docs_per_sec": round(n_docs / timings["dedup_e2e"], 1),
+        "cpus": CPUS,
+    }
+    spark.stop()
+    return out
+
+
+def run_single(cpus: int) -> dict:
+    spark = _spark(cpus)
+    corpus = _ensure_bench_corpus(spark)
+    docs = spark.read.parquet(corpus)
+    n = docs.count()
+    # warm-up pass (JVM JIT + shuffle dirs), then measured pass
+    _flagship(spark, docs)
+    t0 = time.perf_counter()
+    n_clusters, n_pairs = _flagship(spark, docs)
+    wall = time.perf_counter() - t0
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "n_docs": n,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n / wall, 1),
+        "n_clusters": n_clusters,
+        "n_pairs": n_pairs,
+    }
+
+
+def run_scaling() -> dict:
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--single-run", str(cpus)],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "PYTHONPATH": str(Path(__file__).parent)},
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
+    eff = (t8 / t32) / (32 / 8)
+    out = {
+        "metric": "scaling_efficiency_8_to_32_cores",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "runs": results,
+        "note": "sandbox stand-in for N->4N executors (north_rule): same job, "
+        "same input, local[8] vs local[32]; efficiency=(T8/T32)/4",
+    }
+    Path("BENCH_SCALING.json").write_text(json.dumps(out, indent=2))
+    # same-results check: clusters/pairs must be identical at both levels
+    assert results[8]["n_clusters"] == results[32]["n_clusters"], "nondeterminism!"
+    assert results[8]["n_pairs"] == results[32]["n_pairs"], "nondeterminism!"
+    return out
+
+
+if __name__ == "__main__":
+    if "--single-run" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--single-run") + 1])
+        print(json.dumps(run_single(cpus)))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_headline()))

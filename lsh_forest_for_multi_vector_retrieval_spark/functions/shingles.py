@@ -5,6 +5,14 @@ Reference semantics: a document is an *unordered set* of vectors
 the document's distinct 5-gram shingles. Hashing uses Spark's built-in
 ``xxhash64`` (seeded, deterministic across executors — never Python's
 ``hash``), so the whole shingle stage stays inside whole-stage codegen.
+
+PERFORMANCE NOTE (measured): expensive sub-expressions (the regex token
+split) referenced from inside higher-order-function lambdas are
+re-evaluated per array element unless bound as a named column first —
+inlined shingling ran 50-150x slower at sf0.1. Every public helper here
+therefore *stages* tokens/shingles via ``withColumn`` (Catalyst's
+CollapseProject keeps multiply-referenced expensive aliases staged), and
+expression-returning helpers expect an already-materialized token column.
 """
 
 from __future__ import annotations
@@ -14,14 +22,18 @@ from pyspark.sql import functions as F
 
 
 def tokens_col(text: Column, lowercase: bool = True) -> Column:
-    """Whitespace tokens; empty tokens dropped so runs of spaces are safe."""
+    """Whitespace tokens; empty tokens dropped so runs of spaces are safe.
+
+    Bind the result as a named column (``withColumn``) before using it in
+    any lambda — see module performance note.
+    """
     t = F.lower(text) if lowercase else text
     toks = F.split(t, r"\s+")
     return F.filter(toks, lambda x: x != F.lit(""))
 
 
 def shingle_strings_col(toks: Column, k: int = 5) -> Column:
-    """Distinct k-gram shingle *strings* (space-joined token windows).
+    """Distinct k-gram shingle *strings* from a (staged) token column.
 
     Documents shorter than k tokens contribute their whole token sequence
     as a single shingle (the reference's <=1-vector leaf base case,
@@ -48,6 +60,16 @@ def shingle_hashes_col(toks: Column, k: int = 5) -> Column:
     return F.array_distinct(F.when(n >= k, grams).otherwise(whole))
 
 
+def with_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    out_col: str = "toks",
+) -> DataFrame:
+    """Stage the token array as a named column (evaluated once per row)."""
+    return df.withColumn(out_col, tokens_col(F.col(text_col), lowercase=lowercase))
+
+
 def with_shingles(
     df: DataFrame,
     text_col: str = "text",
@@ -60,9 +82,30 @@ def with_shingles(
     Empty/null texts yield an empty array (no shingles → never a duplicate
     candidate; exact-empty dup handling belongs to the exact-dedup pass).
     """
-    toks = tokens_col(F.col(text_col), lowercase=lowercase)
+    tmp = f"__toks_{out_col}"
+    staged = with_tokens(df, text_col=text_col, lowercase=lowercase, out_col=tmp)
+    toks = F.col(tmp)
     sh = F.when(
         F.col(text_col).isNull() | (F.size(toks) == 0),
         F.array().cast("array<bigint>"),
     ).otherwise(shingle_hashes_col(toks, k))
-    return df.withColumn(out_col, sh)
+    return staged.withColumn(out_col, sh).drop(tmp)
+
+
+def with_shingle_strings(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    lowercase: bool = True,
+    out_col: str = "shingle_strs",
+) -> DataFrame:
+    """Like ``with_shingles`` but keeps the shingle *strings* (used by the
+    exact n-gram-Jaccard operator whose DuckDB oracle works on strings)."""
+    tmp = f"__toks_{out_col}"
+    staged = with_tokens(df, text_col=text_col, lowercase=lowercase, out_col=tmp)
+    toks = F.col(tmp)
+    sh = F.when(
+        F.col(text_col).isNull() | (F.size(toks) == 0),
+        F.array().cast("array<string>"),
+    ).otherwise(shingle_strings_col(toks, k))
+    return staged.withColumn(out_col, sh).drop(tmp)

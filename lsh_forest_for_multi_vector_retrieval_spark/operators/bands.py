@@ -33,7 +33,13 @@ def with_signatures(
     text_col: str = "text",
     include_simhash: bool = True,
 ) -> DataFrame:
-    """text -> shingles -> MinHash sig (+ SimHash). One narrow stage."""
+    """text -> shingles -> MinHash sig (+ SimHash). One narrow stage
+    (plus an up-repartition when the source arrives under-partitioned)."""
+    from lsh_forest_for_multi_vector_retrieval_spark.session import (
+        ensure_min_partitions,
+    )
+
+    df = ensure_min_partitions(df)
     out = with_shingles(df, text_col=text_col, k=cfg.shingle_size, lowercase=cfg.lowercase)
     mh = minhash_udf(cfg.num_perm, cfg.minhash_seed)
     out = out.withColumn("sig", mh(F.col("shingles")))

@@ -53,24 +53,23 @@ def connected_components(
             .groupBy(F.col("dst").alias(vertex_col))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(msgs, vertex_col, "left")
+        # carry the old label through so the convergence check needs no
+        # extra join; lazy localCheckpoint materializes during the same
+        # action as the changed-count -> exactly ONE job per iteration
+        stepped = (
+            labels.withColumnRenamed("cluster_id", "old_label")
+            .join(msgs, vertex_col, "left")
             .select(
                 F.col(vertex_col),
                 F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                    F.col("old_label"), F.coalesce("nbr_min", "old_label")
                 ).alias("cluster_id"),
+                F.col("old_label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), vertex_col)
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.where(F.col("cluster_id") != F.col("old_label")).count()
+        labels = stepped.select(vertex_col, "cluster_id")
         if changed == 0:
             break
 

