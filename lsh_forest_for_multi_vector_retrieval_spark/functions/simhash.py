@@ -39,26 +39,22 @@ def simhash_np(shingles: np.ndarray) -> np.int64:
 def simhash_udf() -> Column:
     """Factory: ``array<bigint> shingles -> bigint simhash``."""
 
+    # per-row kernels: the (n_shingles, 64) bit matrix of one document is
+    # ~75 KB and cache-resident (see minhash.py for the measured rationale)
+    bit_row = _BITS[None, :]
+
     @pandas_udf(T.LongType())
     def _simhash(shingle_col: pd.Series) -> pd.Series:
-        lens = shingle_col.map(len).to_numpy(dtype=np.int64)
-        n = len(shingle_col)
-        out = np.zeros(n, dtype=np.int64)
-        if lens.sum() == 0:
-            return pd.Series(out)
-        flat = np.concatenate(
-            [np.asarray(x, dtype=np.int64) for x in shingle_col if len(x)]
-        ).view(np.uint64)
-        bits = ((flat[:, None] >> _BITS[None, :]) & np.uint64(1)).astype(np.int64)
-        offsets = np.zeros(len(lens), dtype=np.int64)
-        np.cumsum(lens[:-1], out=offsets[1:])
-        nonempty = lens > 0
-        sums = np.add.reduceat(bits, offsets[nonempty], axis=0)  # (n_ne, 64)
-        votes = 2 * sums - lens[nonempty][:, None]
-        words = ((votes >= 0).astype(np.uint64) << _BITS[None, :]).sum(
-            axis=1, dtype=np.uint64
-        )
-        out[nonempty] = words.view(np.int64)
+        out = np.zeros(len(shingle_col), dtype=np.int64)
+        for i, x in enumerate(shingle_col):
+            n = len(x)
+            if n == 0:
+                continue
+            s = np.asarray(x, dtype=np.int64).view(np.uint64)
+            bits = ((s[:, None] >> bit_row) & np.uint64(1)).astype(np.int64)
+            votes = 2 * bits.sum(axis=0) - n
+            word = ((votes >= 0).astype(np.uint64) << _BITS).sum(dtype=np.uint64)
+            out[i] = np.int64(word.astype(np.int64))
         return pd.Series(out)
 
     return _simhash

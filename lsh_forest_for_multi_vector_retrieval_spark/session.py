@@ -44,6 +44,18 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # larger Arrow batches amortize the IPC syscall cost; per-row UDF
+        # kernels keep memory bounded regardless of batch size
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        # tmpfs shuffle/spill dirs when available: the sandbox VM has very
+        # expensive block-device syscalls (vmstat showed 40-90% system time
+        # during shuffle-heavy stages); on a real cluster leave this to the
+        # cluster manager's local SSD config
+        .config(
+            "spark.local.dir",
+            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
