@@ -288,6 +288,23 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, qs, k=10, dim=64, bits=64, n_chunks=16)
 
 
+def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.substring import (
+        substring_dup_pairs,
+    )
+
+    return substring_dup_pairs(_docs(spark, sf_dir), gram=32, window=16)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.ann import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, min_cosine=0.9, dim=64, n_chunks=8)
+
+
 def q_forest_vote_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sigs = with_signatures(docs.select("doc_id", "text"), CFG).select(
@@ -323,6 +340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_bucket_stats": q_band_bucket_stats,
         "lsh_ann_topk": q_lsh_ann_topk,
         "forest_vote_topk": q_forest_vote_topk,
+        "substring_pairs": q_substring_pairs,
+        "embedding_near_dups": q_embedding_near_dups,
     }
 
 
