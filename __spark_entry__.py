@@ -95,8 +95,12 @@ def q_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _docs(spark, sf_dir).where(F.length("text") > 0)
-    return with_shingle_strings(d).select(
-        "doc_id", F.size("shingle_strs").cast("long").alias("n_shingles")
+    return (
+        with_shingle_strings(d)
+        .select("doc_id", F.size("shingle_strs").cast("long").alias("n_shingles"))
+        # whitespace-only docs have 0 shingles; the oracle's sh CTE drops
+        # them (len(t)>=1) — drop on this side too so the twins agree
+        .where(F.col("n_shingles") > 0)
     )
 
 
@@ -400,8 +404,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": f"""
             WITH toks AS (
-              SELECT doc_id, text,
-                     list_filter(string_split(text, ' '), x -> x <> '') AS t
+              SELECT doc_id, coalesce(text, '') AS text,
+                     list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS t
               FROM documents
             )
             SELECT doc_id,
@@ -414,9 +418,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_scores": """
             WITH q AS (
-              SELECT doc_id, text,
-                     list_filter(string_split(text, ' '), x -> x <> '') AS t,
-                     length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS np
+              SELECT doc_id, coalesce(text, '') AS text,
+                     list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS t,
+                     length(coalesce(text, ''))
+                       - length(regexp_replace(coalesce(text, ''), '[.,!?;:]', '', 'g')) AS np
               FROM documents
             )
             SELECT doc_id,
@@ -433,7 +438,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": """
             WITH q AS (
               SELECT doc_id,
-                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+                     list_filter(string_split(lower(coalesce(text, '')), ' '), x -> x <> '') AS t
               FROM documents
             ), hits AS (
               SELECT doc_id, len(t) AS n_tok,
@@ -454,7 +459,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": """
             WITH q AS (
               SELECT doc_id,
-                     list_filter(string_split(text, ' '), x -> x <> '') AS t
+                     list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS t
               FROM documents
             )
             SELECT doc_id,
@@ -497,7 +502,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    count(*)::BIGINT AS n_events,
                    round(sum(value::DOUBLE), 2) AS total_value,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
                    count(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY event_type
         """,

@@ -25,6 +25,9 @@ _TAG_RE = re.compile(r"<[^>]+>")
 _WS_RE = re.compile(r"\s+")
 
 _ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&#39;": "'"}
+# single-pass unescape: sequential str.replace would double-unescape
+# double-escaped input ('&amp;lt;' -> '<' instead of '&lt;')
+_ENTITY_RE = re.compile("|".join(re.escape(e) for e in _ENTITIES))
 
 
 def _extract_one(html: bytes | None) -> str | None:
@@ -36,8 +39,7 @@ def _extract_one(html: bytes | None) -> str | None:
     if m:
         s = m.group(1)
     s = _TAG_RE.sub(" ", s)
-    for ent, ch in _ENTITIES.items():
-        s = s.replace(ent, ch)
+    s = _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], s)
     return _WS_RE.sub(" ", s).strip()
 
 

@@ -57,7 +57,9 @@ def quality_features(
     engine. ``quality_score`` is a simple monotone combination used for
     corpus filtering (docs with reasonable length and punctuation rank
     higher)."""
-    text = F.col(text_col)
+    # NULL text ≡ empty text (both engines): F.size(split(NULL)) is -1 in
+    # Spark but NULL in DuckDB — coalesce first so the twins agree
+    text = F.coalesce(F.col(text_col), F.lit(""))
     n_tok = token_count_col(text)
     n_chars = F.length(text)
     n_punct = punct_count_col(text)
@@ -87,7 +89,7 @@ def lang_id_scores(
     (doc_id, en_hits, es_hits, de_hits, fr_hits, pred_lang) — ties broken
     by language-name order via a deterministic greatest-struct trick.
     """
-    toks = _tokens(F.lower(F.col(text_col)))
+    toks = _tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     n_tok = F.size(toks)
 
     # NB: the lambda must be unary — F.filter passes (element, index) to
@@ -142,4 +144,5 @@ def fingerprint_col(text: Column) -> Column:
 def doc_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    return df.select(F.col(id_col), fingerprint_col(F.col(text_col)).alias("fingerprint"))
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    return df.select(F.col(id_col), fingerprint_col(text).alias("fingerprint"))

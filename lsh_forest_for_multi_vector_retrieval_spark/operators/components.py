@@ -17,6 +17,8 @@ exponentially (SURVEY §4.2 iterative-algorithms note).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -46,6 +48,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    changed = 0
     for _ in range(max_iterations):
         # candidate label for each dst = min label among its neighbors
         msgs = (
@@ -72,6 +75,16 @@ def connected_components(
         labels = stepped.select(vertex_col, "cluster_id")
         if changed == 0:
             break
+    if changed != 0:
+        # a component with diameter > max_iterations would otherwise get
+        # silently split into several labels — surface it loudly
+        warnings.warn(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); cluster labels "
+            "may be split. Raise max_iterations.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     if all_vertices is not None:
         singles = all_vertices.select(vertex_col).join(

@@ -45,17 +45,20 @@ def _rolling_hashes(text: str, gram: int) -> np.ndarray:
     if n <= 0:
         return np.empty(0, dtype=np.uint64)
     # hash(i) = sum_{j<gram} byte[i+j] * BASE^(gram-1-j)  (mod 2^64)
-    powers = np.empty(gram, dtype=np.uint64)
-    powers[gram - 1] = np.uint64(1)
-    for j in range(gram - 2, -1, -1):
-        powers[j] = powers[j + 1] * _BASE
-    vals = b.astype(np.uint64)
-    # sliding dot product via convolution in uint64 wraparound:
-    # build with stride tricks to stay O(n*1) memory-ish for moderate gram
-    out = np.zeros(n, dtype=np.uint64)
-    for j in range(gram):  # gram is small (<=64); loop is over gram, not n
-        out += vals[j : j + n] * powers[j]
-    return out + _OFFSET
+    # uint64 wraparound is intentional and deterministic — suppress NumPy's
+    # overflow RuntimeWarning so real warnings stay visible in logs
+    with np.errstate(over="ignore"):
+        powers = np.empty(gram, dtype=np.uint64)
+        powers[gram - 1] = np.uint64(1)
+        for j in range(gram - 2, -1, -1):
+            powers[j] = powers[j + 1] * _BASE
+        vals = b.astype(np.uint64)
+        # sliding dot product via convolution in uint64 wraparound:
+        # build with stride tricks to stay O(n*1) memory-ish for moderate gram
+        out = np.zeros(n, dtype=np.uint64)
+        for j in range(gram):  # gram is small (<=64); loop is over gram, not n
+            out += vals[j : j + n] * powers[j]
+        return out + _OFFSET
 
 
 def _winnow(hashes: np.ndarray, window: int) -> np.ndarray:

@@ -50,6 +50,12 @@ class IncrementalDedup:
 
     # -- batch core (reused by foreachBatch) --------------------------------
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """Idempotent under foreachBatch's at-least-once delivery: every
+        state table is partitioned by ``batch_id`` and written with dynamic
+        partition overwrite, so a replayed batch overwrites its own
+        partition instead of appending duplicates; history reads exclude
+        the current batch_id (a half-written retry partition is invisible).
+        """
         spark = batch.sparkSession
         cfg = self.cfg
         sigs = (
@@ -61,8 +67,12 @@ class IncrementalDedup:
 
         have_history = Path(self.bands_path).exists()
         if have_history:
-            old_bands = spark.read.parquet(self.bands_path)
-            old_sigs = spark.read.parquet(self.sigs_path)
+            old_bands = spark.read.parquet(self.bands_path).where(
+                F.col("batch_id") != batch_id
+            ).drop("batch_id")
+            old_sigs = spark.read.parquet(self.sigs_path).where(
+                F.col("batch_id") != batch_id
+            ).drop("batch_id")
             # collisions of new docs vs history (old id becomes doc_a so
             # pairs stay canonical: history ids < new ids by arrival)
             hist_hits = (
@@ -88,9 +98,19 @@ class IncrementalDedup:
         intra = candidate_pairs(new_bands, cfg)
         cands = intra if hist_hits is None else intra.unionByName(hist_hits).distinct()
         verified = verify_pairs(cands, all_sigs, cfg)
-        verified.write.mode("append").parquet(self.pairs_path)
-        new_bands.write.mode("append").parquet(self.bands_path)
-        sigs.write.mode("append").parquet(self.sigs_path)
+
+        def _write(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(path)
+            )
+
+        _write(verified, self.pairs_path)
+        _write(new_bands, self.bands_path)
+        _write(sigs, self.sigs_path)
         sigs.unpersist()
         new_bands.unpersist()
 
@@ -114,4 +134,4 @@ class IncrementalDedup:
     def pairs(self, spark: SparkSession) -> DataFrame:
         if not Path(self.pairs_path).exists():
             return spark.createDataFrame([], "doc_a long, doc_b long, jaccard double")
-        return spark.read.parquet(self.pairs_path)
+        return spark.read.parquet(self.pairs_path).drop("batch_id")
