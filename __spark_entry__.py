@@ -48,6 +48,10 @@ from lsh_forest_for_multi_vector_retrieval_spark.operators.forest_vote import (
 )
 
 CFG = DedupConfig()
+# Portable hash family: identical LSH math with a DuckDB-reproducible
+# 60-bit md5 shingle hash, so MinHash/SimHash internals get *hash-exact*
+# cross-engine oracles (the production default stays xxhash64).
+PORTABLE_CFG = DedupConfig(hash_family="md5_60")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,8 +77,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries
 # ---------------------------------------------------------------------------
 
+def _docs_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture documents contain no byte-identical texts, which made
+    the exact-dedup oracles vacuously green (0 rows). Deterministically
+    re-publish every 97th doc under a shifted id (a mirror-site analog) so
+    the exact-dedup operators have real work; the oracle applies the same
+    construction in SQL."""
+    d = _docs(spark, sf_dir)
+    dups = d.where(F.col("doc_id") % 97 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return d.unionByName(dups)
+
+
+_DUPED_DOCS_SQL = """
+docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 97 = 0
+)"""
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dedup_groups(_docs(spark, sf_dir)).select(
+    return exact_dedup_groups(_docs_with_exact_dups(spark, sf_dir)).select(
         "text_hash",
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("keep_doc_id").cast("long").alias("keep_doc_id"),
@@ -82,7 +107,7 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dup_pairs(_docs(spark, sf_dir))
+    return exact_dup_pairs(_docs_with_exact_dups(spark, sf_dir))
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,9 +248,14 @@ def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set op / anti-join: parts with no lineitem (EXCEPT shape)."""
+    """Set op / anti-join: parts never shipped in 2001+ (EXCEPT shape).
+    Date-restricted so the result is non-vacuous at every sf (every part
+    has *some* lineitem in the fixture, making the unrestricted query an
+    empty — vacuously green — check)."""
     p = _read(spark, sf_dir, "part")
-    li = _read(spark, sf_dir, "lineitem")
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("2001-01-01")
+    )
     return p.select("p_partkey").exceptAll(
         li.select(F.col("l_partkey").alias("p_partkey"))
     ).distinct()
@@ -278,12 +308,20 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_dedup_pairs(_docs(spark, sf_dir), CFG, max_hamming=3)
+    """Pigeonhole-blocked SimHash pairs — LOSSLESS for hamming<=3, so the
+    brute-force all-pairs DuckDB twin matches row-for-row. Portable hash
+    family so the oracle reproduces the exact simhash bits."""
+    out = simhash_dedup_pairs(_docs(spark, sf_dir), PORTABLE_CFG, max_hamming=3)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_band_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = with_signatures(_docs(spark, sf_dir).select("doc_id", "text"), CFG)
-    return bucket_stats(band_table(sigs, CFG))
+    """Bucket-size histogram of the MinHash band table. The oracle recomputes
+    the full 128-perm MinHash in SQL (HUGEINT modular math over md5_60
+    shingle hashes) and groups by the raw 8-value band slice — same
+    partition of docs as xxhash64(slice) w.h.p., hence identical histogram."""
+    sigs = with_signatures(_docs(spark, sf_dir).select("doc_id", "text"), PORTABLE_CFG)
+    return bucket_stats(band_table(sigs, PORTABLE_CFG))
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,12 +339,39 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked near-dup pairs (approximate — rows-only check; the
+    planted-dup recall gate lives in pytest). Threshold 0.45 because the
+    fixture embeddings' closest pairs sit at cosine ~0.45-0.52 — at 0.9
+    the query is vacuously empty and proves nothing."""
     from lsh_forest_for_multi_vector_retrieval_spark.operators.ann import (
         embedding_near_dup_pairs,
     )
 
     emb = _read(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, min_cosine=0.9, dim=64, n_chunks=8)
+    return embedding_near_dup_pairs(emb, min_cosine=0.45, dim=64, n_chunks=16)
+
+
+def q_embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force twin of the above: EXACT all-pairs cosine >= 0.45,
+    rounded to 6dp on both engines — full hash-match oracle."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.ann import (
+        brute_force_near_dup_pairs,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return brute_force_near_dup_pairs(emb, min_cosine=0.45)
+
+
+def q_substring_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window=1 disables winnowing subsampling, so the operator returns
+    EVERY pair sharing an exact 32-char substring with the exact count of
+    shared distinct grams — matched by a substr-explosion DuckDB twin.
+    (The winnowed window=16 production variant stays rows-only below.)"""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.substring import (
+        substring_dup_pairs,
+    )
+
+    return substring_dup_pairs(_docs(spark, sf_dir), gram=32, window=1)
 
 
 def q_forest_vote_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,12 +401,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_stats": q_events_type_stats,
         "parts_never_ordered": q_parts_never_ordered,
         "embedding_topk": q_embedding_topk,
-        # rows-only (approximate / iterative — no SQL twin)
+        # oracle-checked LSH internals (portable hash family / exact modes)
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "simhash_pairs": q_simhash_pairs,
         "band_bucket_stats": q_band_bucket_stats,
+        "substring_pairs_exact": q_substring_pairs_exact,
+        "embedding_near_dups_exact": q_embedding_near_dups_exact,
+        # rows-only (genuinely approximate — pytest recall gates instead)
         "lsh_ann_topk": q_lsh_ann_topk,
         "forest_vote_topk": q_forest_vote_topk,
         "substring_pairs": q_substring_pairs,
@@ -369,34 +437,177 @@ sh AS (
 )
 """
 
+# exact n-gram-Jaccard pair CTEs (shared by the pair query, the flagship
+# minhash pipeline twin, and the connected-components oracles)
+_JACCARD_CTES = f"""{_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         i::DOUBLE / (sa.n_sh + sb.n_sh - i)::DOUBLE AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)"""
+
+_EXACT_JACCARD_SQL = f"""
+    WITH {_JACCARD_CTES}
+    SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8
+"""
+
+# transitive closure of the >=0.8 pair graph; cluster = min doc_id in
+# component, singletons labeled by themselves (every doc appears)
+_CLUSTERS_CTES = f"""{_JACCARD_CTES},
+dup AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM dup
+        UNION ALL SELECT doc_b, doc_a FROM dup),
+reach(x, y) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.x, s.b FROM reach r JOIN sym s ON r.y = s.a
+),
+comp AS (SELECT x AS doc_id, min(y) AS mn FROM reach GROUP BY x),
+clusters AS (
+  SELECT d.doc_id,
+         coalesce(CASE WHEN c.mn < d.doc_id THEN c.mn ELSE d.doc_id END,
+                  d.doc_id)::BIGINT AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)"""
+
+# portable 60-bit md5 shingle hash — bit-identical to Spark's
+# conv(substr(md5(sh),1,15),16,10) (see functions/shingles.py:hash64_col);
+# DISTINCT at hash level mirrors Spark's array_distinct over hashes
+_SHH_CTE = """shh AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh
+)"""
+
+
+def _minhash_perm_values() -> str:
+    """The 128 seeded (a, b) permutation parameters as SQL literals —
+    the same RandomState(42) draw the Spark UDF closes over."""
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.minhash import (
+        minhash_params,
+    )
+
+    a, b = minhash_params(CFG.num_perm, CFG.minhash_seed)
+    return ",\n".join(
+        f"({p}, {int(a[p])}, {int(b[p])})" for p in range(CFG.num_perm)
+    )
+
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "exact_dup_groups": """
+        "exact_dup_groups": f"""
+            WITH {_DUPED_DOCS_SQL}
             SELECT md5(text) AS text_hash,
                    count(*)::BIGINT AS n_docs,
                    min(doc_id)::BIGINT AS keep_doc_id
-            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+            FROM docs2 GROUP BY md5(text) HAVING count(*) > 1
         """,
-        "exact_dup_pairs": """
+        "exact_dup_pairs": f"""
+            WITH {_DUPED_DOCS_SQL}
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM documents a JOIN documents b ON md5(a.text) = md5(b.text)
+            FROM docs2 a JOIN docs2 b ON md5(a.text) = md5(b.text)
             WHERE a.doc_id < b.doc_id
         """,
-        "ngram_jaccard_pairs": f"""
+        "ngram_jaccard_pairs": _EXACT_JACCARD_SQL,
+        # the flagship LSH pipeline's verified pairs are exact-Jaccard
+        # verified, and band recall on this corpus is exactly 1.0 — so the
+        # brute-force exact-Jaccard twin IS the oracle (a recall regression
+        # would surface as a row mismatch here, which is the point)
+        "minhash_dedup_pairs": _EXACT_JACCARD_SQL,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_CLUSTERS_CTES}
+            SELECT doc_id, cluster_id FROM clusters
+        """,
+        "dedup_cluster_stats": f"""
+            WITH RECURSIVE {_CLUSTERS_CTES},
+            csizes AS (SELECT cluster_id, count(*) AS cluster_n
+                       FROM clusters GROUP BY cluster_id)
+            SELECT cluster_n::BIGINT AS cluster_n,
+                   count(*)::BIGINT AS num_clusters
+            FROM csizes GROUP BY cluster_n
+        """,
+        # brute-force all-pairs SimHash Hamming over the portable md5_60
+        # hash — the Spark side's pigeonhole blocking is LOSSLESS for
+        # hamming<=3, so the sets match exactly. Tie rule: vote sum >= 0
+        # sets the bit (functions/simhash.py:simhash_np)
+        "simhash_pairs": f"""
             WITH {_SHINGLES_CTE},
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-              GROUP BY a.doc_id, b.doc_id
+            {_SHH_CTE},
+            bits AS (
+              SELECT doc_id, g.b,
+                     CASE WHEN sum(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+                          THEN 1 ELSE 0 END AS bit
+              FROM shh CROSS JOIN generate_series(0, 63) AS g(b)
+              GROUP BY doc_id, g.b
+            ),
+            ham AS (
+              SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                     sum(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END)::BIGINT AS hamming
+              FROM bits a JOIN bits c ON a.b = c.b AND a.doc_id < c.doc_id
+              GROUP BY 1, 2
             )
-            SELECT doc_a, doc_b,
-                   i::DOUBLE / (sa.n_sh + sb.n_sh - i)::DOUBLE AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i)::DOUBLE >= 0.8
+            SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+        """,
+        # full 128-perm MinHash recomputed in SQL: ((a*h+b) mod 2^64) mod
+        # (2^61-1) in HUGEINT — bit-identical to the UDF's uint64 wraparound
+        # (functions/minhash.py:minhash_np). Buckets grouped by the raw
+        # 8-value band slice: same doc partition as xxhash64(slice), so the
+        # size histogram is identical
+        "band_bucket_stats": f"""
+            WITH {_SHINGLES_CTE},
+            {_SHH_CTE},
+            perms(p, pa, pb) AS (VALUES {_minhash_perm_values()}),
+            sig AS (
+              SELECT doc_id, p,
+                     min(((pa::HUGEINT * h + pb::HUGEINT)
+                          % 18446744073709551616::HUGEINT)
+                         % 2305843009213693951)::BIGINT AS v
+              FROM shh CROSS JOIN perms
+              GROUP BY doc_id, p
+            ),
+            bandkeys AS (
+              SELECT doc_id, (p // {CFG.rows_per_band}) AS band_id,
+                     string_agg(v::VARCHAR, '-' ORDER BY p) AS band_key
+              FROM sig GROUP BY doc_id, (p // {CFG.rows_per_band})
+            ),
+            buckets AS (
+              SELECT band_id, band_key, count(*) AS bucket_n
+              FROM bandkeys GROUP BY 1, 2
+            )
+            SELECT bucket_n::BIGINT AS bucket_n, count(*)::BIGINT AS num_buckets
+            FROM buckets GROUP BY bucket_n
+        """,
+        "substring_pairs_exact": """
+            WITH g AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, length(text) - 31),
+                                             i -> substr(text, i, 32))) AS gram
+                FROM documents WHERE text IS NOT NULL AND length(text) >= 32
+              )
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*)::BIGINT AS shared_grams
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        """,
+        "embedding_near_dups_exact": """
+            WITH p AS (
+              SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                round(
+                  list_sum(list_transform(generate_series(1, len(a.embedding)),
+                           i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                  / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                   * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cosine_r
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            )
+            SELECT doc_a, doc_b, cosine_r FROM p WHERE cosine_r >= 0.45
         """,
         "shingle_counts": f"""
             WITH {_SHINGLES_CTE}
@@ -508,7 +719,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "parts_never_ordered": """
             SELECT DISTINCT p_partkey FROM part
-            WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+            WHERE p_partkey NOT IN (
+              SELECT l_partkey FROM lineitem WHERE l_shipdate >= DATE '2001-01-01'
+            )
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),

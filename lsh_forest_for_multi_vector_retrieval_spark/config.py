@@ -18,6 +18,11 @@ class DedupConfig:
     # --- shingling (north_star config: 5-gram shingles) ---
     shingle_size: int = 5
     lowercase: bool = True
+    # 64-bit shingle hash family: "xxhash64" (default, JVM-native, the
+    # scale path) or "md5_60" (first 15 hex chars of md5 as a 60-bit int —
+    # reproducible in any SQL engine, used by the cross-engine oracle
+    # queries; same LSH math downstream, ~identical collision behavior)
+    hash_family: str = "xxhash64"
 
     # --- MinHash (north_star config: 128 permutations) ---
     num_perm: int = 128

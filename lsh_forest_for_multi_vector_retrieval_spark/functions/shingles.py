@@ -49,14 +49,28 @@ def shingle_strings_col(toks: Column, k: int = 5) -> Column:
     return F.array_distinct(F.when(n >= k, grams).otherwise(whole))
 
 
-def shingle_hashes_col(toks: Column, k: int = 5) -> Column:
-    """Distinct 64-bit shingle hashes (xxhash64 of each k-gram string)."""
+def hash64_col(s: Column, hash_family: str = "xxhash64") -> Column:
+    """64-bit string hash. ``xxhash64``: JVM-native, the production path.
+    ``md5_60``: first 15 hex chars of md5 parsed as a 60-bit integer —
+    bit-reproducible in DuckDB (``('0x'||substr(md5(s),1,15))::BIGINT``),
+    used by the cross-engine oracle queries."""
+    if hash_family == "md5_60":
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    if hash_family != "xxhash64":
+        raise ValueError(f"unknown hash_family: {hash_family}")
+    return F.xxhash64(s)
+
+
+def shingle_hashes_col(
+    toks: Column, k: int = 5, hash_family: str = "xxhash64"
+) -> Column:
+    """Distinct 64-bit shingle hashes (``hash_family`` of each k-gram)."""
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), n - F.lit(k - 1)),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+        lambda i: hash64_col(F.concat_ws(" ", F.slice(toks, i, k)), hash_family),
     )
-    whole = F.array(F.xxhash64(F.concat_ws(" ", toks)))
+    whole = F.array(hash64_col(F.concat_ws(" ", toks), hash_family))
     return F.array_distinct(F.when(n >= k, grams).otherwise(whole))
 
 
@@ -76,6 +90,7 @@ def with_shingles(
     k: int = 5,
     lowercase: bool = True,
     out_col: str = "shingles",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Append a ``shingles: array<bigint>`` column of distinct k-gram hashes.
 
@@ -88,7 +103,7 @@ def with_shingles(
     sh = F.when(
         F.col(text_col).isNull() | (F.size(toks) == 0),
         F.array().cast("array<bigint>"),
-    ).otherwise(shingle_hashes_col(toks, k))
+    ).otherwise(shingle_hashes_col(toks, k, hash_family))
     return staged.withColumn(out_col, sh).drop(tmp)
 
 

@@ -116,6 +116,33 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def brute_force_near_dup_pairs(
+    vectors: DataFrame,
+    min_cosine: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """EXACT embedding near-dup pairs — the brute-force oracle for
+    ``embedding_near_dup_pairs`` (reference brute_nn pattern,
+    notebooks/lsh_forest.ipynb cell 1). All-pairs cosine with one side
+    broadcast; threshold applied to the rounded value so a SQL twin using
+    the same rounding agrees at the boundary. Test/oracle scale only —
+    the LSH-blocked variant is the 100 TB path."""
+    a = vectors.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("vec_a"))
+    b = vectors.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vec_b"))
+    cos = cosine_col(F.col("vec_a"), F.col("vec_b"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return (
+        F.broadcast(a)
+        .crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", cos.alias("cosine_r"))
+        .where(F.col("cosine_r") >= min_cosine)
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     min_cosine: float = 0.95,

@@ -40,7 +40,13 @@ def with_signatures(
     )
 
     df = ensure_min_partitions(df)
-    out = with_shingles(df, text_col=text_col, k=cfg.shingle_size, lowercase=cfg.lowercase)
+    out = with_shingles(
+        df,
+        text_col=text_col,
+        k=cfg.shingle_size,
+        lowercase=cfg.lowercase,
+        hash_family=cfg.hash_family,
+    )
     mh = minhash_udf(cfg.num_perm, cfg.minhash_seed)
     out = out.withColumn("sig", mh(F.col("shingles")))
     if include_simhash:

@@ -65,3 +65,33 @@ def test_hash_matches_xxhash_of_string(spark):
         .first()
     )
     assert sorted(row.shingles) == sorted(row.expected)
+
+
+def test_md5_60_hash_family_matches_python_md5(spark):
+    # the portable hash family must equal int(md5(s)[:15], 16) — the value
+    # DuckDB computes as ('0x'||substr(md5(s),1,15))::BIGINT — so the
+    # cross-engine oracle queries are bit-exact
+    import hashlib
+
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.shingles import (
+        hash64_col,
+    )
+
+    vals = ["abc", "hello world", "", "the quick brown"]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = {r.s: r.h for r in df.select("s", hash64_col(F.col("s"), "md5_60").alias("h")).collect()}
+    for v in vals:
+        assert got[v] == int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+
+
+def test_md5_60_shingle_pipeline(spark):
+    # with_shingles(hash_family="md5_60") hashes each shingle string with
+    # the portable family, distinct semantics preserved
+    import hashlib
+
+    df = spark.createDataFrame([(1, "a b c d e f g")], ["doc_id", "text"])
+    row = with_shingles(df, hash_family="md5_60").first()
+    toks = "a b c d e f g".split()
+    strs = {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
+    expected = sorted(int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in strs)
+    assert sorted(row.shingles) == expected
