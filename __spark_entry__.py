@@ -327,7 +327,8 @@ def q_band_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 20)
-    return lsh_topk(emb, qs, k=10, dim=64, bits=64, n_chunks=16)
+    # ensure_k: ascend fallback guarantees exactly k rows per query
+    return lsh_topk(emb, qs, k=10, dim=64, bits=64, n_chunks=16, ensure_k=True)
 
 
 def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,6 +375,32 @@ def q_substring_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_pairs(_docs(spark, sf_dir), gram=32, window=1)
 
 
+def q_plaid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLAID centroid-pruned multi-vector retrieval (reference P2-P4,
+    notebooks/plaid.ipynb cells 5-8). The fixture embeddings become
+    multi-vector docs of 4 tokens each (doc_id = vec_id // 4); the first
+    5 docs are the queries. KMeans float math is not SQL-reproducible —
+    rows-only here; the brute-force-chamfer parity gate is in pytest."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.plaid import (
+        build_centroids,
+        plaid_topk,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    docs = emb.select((F.col("vec_id") / 4).cast("long").alias("doc_id"), "embedding")
+    corpus = docs.where(F.col("doc_id") >= 5)
+    queries = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") / 4).cast("long").alias("query_id"), "vec_id", "embedding"
+    )
+    cents = build_centroids(corpus, k=16, seed=42)
+    return plaid_topk(
+        corpus, queries, cents, k=10, nprobe=4, t_cs=0.0, rerank=20
+    ).select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_forest_vote_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sigs = with_signatures(docs.select("doc_id", "text"), CFG).select(
@@ -410,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_pairs_exact": q_substring_pairs_exact,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         # rows-only (genuinely approximate — pytest recall gates instead)
+        "plaid_topk": q_plaid_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
         "forest_vote_topk": q_forest_vote_topk,
         "substring_pairs": q_substring_pairs,

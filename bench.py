@@ -27,10 +27,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# 40k docs ≈ minutes-long jobs at both parallelism levels — long enough to
+# saturate the cores, short enough for interleaved A/B rounds to finish
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "40000"))
 BENCH_CORPUS = os.environ.get(
-    "SPARK_GRAFT_BENCH_CORPUS", "/tmp/spark_graft_bench/pages_160k.parquet"
+    "SPARK_GRAFT_BENCH_CORPUS",
+    f"/tmp/spark_graft_bench/pages_{BENCH_DOCS // 1000}k.parquet",
 )
-BENCH_DOCS = 160_000
 
 
 def _spark(cpus: int, shuffle_partitions: int | None = None):

@@ -68,6 +68,7 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ensure_k: bool = False,
 ) -> DataFrame:
     """LSH-bucketed ANN: exact rerank only inside signature-chunk blocks.
 
@@ -78,37 +79,75 @@ def lsh_topk(
     the reference's own recursive-forest 0.21-0.38 Recall@100
     (BASELINE.md). At larger corpus scale raise ``bits`` (e.g. 128) and
     keep r=bits/n_chunks at 6-8 so block sizes stay sublinear.
+
+    ``ensure_k``: the reference's ASCEND phase (query_rec walks up parents
+    collecting candidates until max_candidates, /root/reference/src/
+    shared/utils.py:168-187). A query in a sparse signature region may
+    collect <k candidates from its leaf blocks; with ensure_k the
+    under-served queries retry at *half chunk width* (shorter prefix =
+    parent bucket), and any still short fall back to the root — an exact
+    scan against the full corpus, broadcast-joined since residual queries
+    are few. Guarantees min(k, |corpus| - 1) rows per query.
     """
     hp = hyperplane_simhash_udf(dim=dim, bits=bits, seed=seed)
-    width = bits // n_chunks
-    mask = (1 << width) - 1
+    qsig = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        hp(F.col(vec_col)).alias("sig"),
+    )
+    csig = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+        hp(F.col(vec_col)).alias("sig"),
+    )
+    if ensure_k:
+        # reused by the block join(s) AND the root fallback
+        qsig = qsig.persist()
+        csig = csig.persist()
 
-    def blocked(df: DataFrame, role: str) -> DataFrame:
-        sig = df.select(
-            F.col(id_col).alias(f"{role}_id"),
-            F.col(vec_col).alias(f"{role}_vec"),
-            hp(F.col(vec_col)).alias("sig"),
-        )
+    def explode_chunks(df: DataFrame, keep: list[str], width: int) -> DataFrame:
+        n_ch = bits // width
+        mask = (1 << width) - 1
         chunks = F.array(
             *[
                 F.shiftrightunsigned(F.col("sig"), c * width).bitwiseAND(F.lit(mask))
-                for c in range(n_chunks)
+                for c in range(n_ch)
             ]
         )
-        return sig.select(
-            f"{role}_id",
-            f"{role}_vec",
-            F.posexplode(chunks).alias("chunk_id", "chunk_val"),
+        return df.select(*keep, F.posexplode(chunks).alias("chunk_id", "chunk_val"))
+
+    def block_join(qs: DataFrame, width: int) -> DataFrame:
+        qb = explode_chunks(qs, ["q_id", "q_vec"], width)
+        cb = explode_chunks(csig, ["n_id", "n_vec"], width)
+        return (
+            qb.join(cb, ["chunk_id", "chunk_val"])
+            .where(F.col("q_id") != F.col("n_id"))
+            .select("q_id", "n_id", "q_vec", "n_vec")
+            .dropDuplicates(["q_id", "n_id"])
         )
 
-    qb = blocked(queries, "q")
-    cb = blocked(corpus, "n")
-    cand = (
-        qb.join(cb, ["chunk_id", "chunk_val"])
-        .where(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", "q_vec", "n_vec")
-        .dropDuplicates(["q_id", "n_id"])
-    )
+    width = bits // n_chunks
+    cand = block_join(qsig, width)
+    if ensure_k:
+
+        def unsaturated(c: DataFrame) -> DataFrame:
+            sat = (
+                c.groupBy("q_id")
+                .agg(F.count("*").alias("n"))
+                .where(F.col("n") >= k)
+                .select("q_id")
+            )
+            return qsig.join(sat, "q_id", "left_anti")
+
+        if width > 1:
+            # ascend one level: parent prefix = half-width chunks
+            deeper = block_join(unsaturated(cand), max(width // 2, 1))
+            cand = cand.unionByName(deeper).dropDuplicates(["q_id", "n_id"])
+        # root fallback: exact scan for the (few) still-short queries
+        root = (
+            F.broadcast(unsaturated(cand).select("q_id", "q_vec"))
+            .crossJoin(csig.select("n_id", "n_vec"))
+            .where(F.col("q_id") != F.col("n_id"))
+        )
+        cand = cand.unionByName(root).dropDuplicates(["q_id", "n_id"])
     scored = cand.select(
         "q_id", "n_id", cosine_col(F.col("q_vec"), F.col("n_vec")).alias("cosine")
     )

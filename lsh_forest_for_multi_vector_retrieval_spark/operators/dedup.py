@@ -169,17 +169,32 @@ def ngram_jaccard_pairs_exact(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """EXACT n-gram-Jaccard pair search via a shingle inverted index —
-    no LSH, no approximation. Finds every pair with jaccard >= threshold
-    (any such pair shares >=1 shingle, so the inverted-index join is
-    lossless). This is the brute-force oracle of the reference's tests
-    (``brute_nn``, notebooks/lsh_forest.ipynb cell 1; utils.py:540-542)
-    expressed relationally — and doubles as a production operator for
-    corpora where exactness matters more than the extra shuffle.
+    """EXACT n-gram-Jaccard pair search — no LSH, no approximation, and
+    **no unbounded posting-list join**: candidate generation uses the
+    prefix-filtering principle of the set-similarity-join literature
+    (Chaudhuri et al. 2006 / Bayardo et al. 2007, public knowledge).
+
+    Order every document's shingles by (document-frequency asc, shingle)
+    — a global total order with the rarest shingles first — and keep only
+    the first ``|d| - ceil(t*|d|) + 1`` as the *prefix*. Lossless lemma:
+    J(A,B) >= t implies |A∩B| >= ceil(t*max(|A|,|B|)), so A∩B must reach
+    into both prefixes; any qualifying pair therefore collides in the
+    prefix-token join. Candidates are verified with exact intersection
+    over the full shingle arrays.
+
+    Scale properties: a boilerplate shingle shared by millions of docs has
+    maximal df, lands *last* in the order, and enters no prefix (except
+    for pathological docs made entirely of hot shingles) — the join's
+    posting lists shrink instead of exploding; prefix length is ~(1-t)|d|
+    (5x fewer join rows at t=0.8 even before the df effect). This is the
+    reference's brute-force oracle (``brute_nn``, notebooks/
+    lsh_forest.ipynb cell 1; utils.py:540-542) made web-scale-safe.
 
     Uses shingle *strings* (not hashes) so a DuckDB SQL oracle reproduces
     it exactly. Returns (doc_a, doc_b, jaccard).
     """
+    from pyspark.sql import Window
+
     from lsh_forest_for_multi_vector_retrieval_spark.session import (
         ensure_min_partitions,
     )
@@ -190,30 +205,50 @@ def ngram_jaccard_pairs_exact(
         ),
         text_col=text_col,
         k=k,
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        "shingle_strs",
+        F.size("shingle_strs").alias("n_sh"),
+    ).where(F.col("n_sh") > 0)
+    staged = staged.persist()
+
+    sh = staged.select("doc_id", "n_sh", F.explode("shingle_strs").alias("sh"))
+    df_tab = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = (
+        sh.join(df_tab, "sh")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= prefix_len)
+        .select("doc_id", "sh")
     )
-    sh = staged.select(
-        F.col(id_col).alias("doc_id"), F.explode("shingle_strs").alias("sh")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        a.join(b, "sh")
+    cands = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "sh")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    a = staged.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingle_strs").alias("strs_a"),
+        F.col("n_sh").alias("na"),
+    )
+    b = staged.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingle_strs").alias("strs_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("strs_a", "strs_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             (
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+                inter.cast("double")
+                / (F.col("na") + F.col("nb") - inter).cast("double")
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)

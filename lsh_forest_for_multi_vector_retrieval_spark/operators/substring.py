@@ -106,6 +106,33 @@ def gram_hash_udf(gram: int = 32):
     return _gh
 
 
+def fingerprint_drop_stats(
+    docs: DataFrame,
+    gram: int = 32,
+    window: int = 16,
+    max_bucket_docs: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """No-silent-caps ledger for ``substring_dup_pairs``: fingerprint
+    buckets larger than ``max_bucket_docs`` with the exact count of docs
+    the cap discards. (fp, bucket_n, dropped_docs)."""
+    fp = fingerprint_udf(gram, window)
+    inv = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(fp(F.col(text_col))).alias("fp")
+    )
+    return (
+        inv.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("bucket_n"))
+        .where(F.col("bucket_n") > max_bucket_docs)
+        .select(
+            "fp",
+            "bucket_n",
+            (F.col("bucket_n") - F.lit(max_bucket_docs)).alias("dropped_docs"),
+        )
+    )
+
+
 def substring_dup_pairs(
     docs: DataFrame,
     gram: int = 32,

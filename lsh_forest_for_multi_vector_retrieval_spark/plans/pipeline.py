@@ -34,6 +34,10 @@ class Stage:
     fn: Callable[[SparkSession, dict[str, DataFrame]], DataFrame]
     # repartition hint before writing (e.g. cluster band tables by key)
     write_partition_cols: tuple[str, ...] = ()
+    # optional extra metrics computed over the stage inputs after the
+    # stage runs (e.g. the hot-bucket drop ledger) — merged into the
+    # stage's metrics row (no silent caps, north_rule)
+    extra_metrics_fn: Callable[[SparkSession, dict[str, DataFrame]], dict] | None = None
 
 
 @dataclass
@@ -104,12 +108,22 @@ class Pipeline:
             persisted = spark.read.parquet(str(path))
             run.outputs[stage.name] = persisted
             wall = time.perf_counter() - t0
-            self._append_metrics(stage.name, run.run_id, persisted, wall)
+            extra = (
+                stage.extra_metrics_fn(spark, run.outputs)
+                if stage.extra_metrics_fn
+                else None
+            )
+            self._append_metrics(stage.name, run.run_id, persisted, wall, extra)
             run.executed.append(stage.name)
         return run
 
     def _append_metrics(
-        self, stage: str, run_id: str, df: DataFrame, wall_sec: float
+        self,
+        stage: str,
+        run_id: str,
+        df: DataFrame,
+        wall_sec: float,
+        extra: dict | None = None,
     ) -> None:
         lineage = partition_lineage(df)
         rec = {
@@ -121,6 +135,8 @@ class Pipeline:
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "partitions": lineage,
         }
+        if extra:
+            rec.update(extra)
         metrics_path = Path(self.workdir) / "_metrics.jsonl"
         with metrics_path.open("a") as f:
             f.write(json.dumps(rec) + "\n")
@@ -173,6 +189,27 @@ def dedup_pipeline(
     def s_candidates(spark, deps):
         return candidate_pairs(deps["bands"], cfg)
 
+    def m_candidate_drops(spark, deps):
+        """Hot-bucket drop ledger: how many docs the max_bucket_docs cap
+        discarded, per bucket (empty list = no silent data loss)."""
+        from lsh_forest_for_multi_vector_retrieval_spark.operators.pairs import (
+            bucket_drop_stats,
+        )
+
+        rows = bucket_drop_stats(deps["bands"], cfg).collect()
+        return {
+            "dropped_docs_total": int(sum(r.dropped_docs for r in rows)),
+            "capped_buckets": [
+                {
+                    "band_id": r.band_id,
+                    "band_hash": r.band_hash,
+                    "bucket_n": r.bucket_n,
+                    "dropped_docs": r.dropped_docs,
+                }
+                for r in rows[:100]
+            ],
+        }
+
     def s_verified(spark, deps):
         return verify_pairs(deps["candidates"], deps["signatures"], cfg)
 
@@ -187,7 +224,7 @@ def dedup_pipeline(
         [
             Stage("signatures", s_signatures),
             Stage("bands", s_bands, write_partition_cols=("band_id", "band_hash")),
-            Stage("candidates", s_candidates),
+            Stage("candidates", s_candidates, extra_metrics_fn=m_candidate_drops),
             Stage("verified", s_verified),
             Stage("clusters", s_clusters),
         ],

@@ -171,3 +171,73 @@ def test_score_correlation(spark):
         [(1.0, 2.0), (2.0, 4.0), (3.0, 6.1)], "a double, b double"
     )
     assert score_correlation(df, "a", "b") > 0.99
+
+
+def test_embedding_near_dup_recall_on_planted_fixture(spark):
+    # VERDICT r01: embedding_near_dups was vacuously green (0 rows, no
+    # planted cosine-dups anywhere). This gates the LSH-blocked operator
+    # at recall >= 0.95 against 40 planted pairs at cosine ~0.995
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.ann import (
+        brute_force_near_dup_pairs,
+    )
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.metrics import (
+        pair_recall,
+    )
+    from lsh_forest_for_multi_vector_retrieval_spark.sources.vectors import (
+        generate_embeddings,
+    )
+
+    emb = generate_embeddings(
+        spark, n_base=400, n_dup_pairs=40, dim=64, noise=0.1, seed=42
+    ).persist()
+    truth = emb.where(F.col("dup_of") >= 0).select(
+        F.col("dup_of").alias("doc_a"), F.col("vec_id").alias("doc_b")
+    )
+    assert truth.count() == 40
+    got = embedding_near_dup_pairs(emb, min_cosine=0.95, dim=64, n_chunks=8)
+    assert pair_recall(got.select("doc_a", "doc_b"), truth) >= 0.95
+    # and the LSH pair set must agree with the exact brute-force twin on
+    # what it does return (no false positives above the threshold)
+    exact = brute_force_near_dup_pairs(emb, min_cosine=0.95)
+    assert pair_recall(got.select("doc_a", "doc_b"), exact.select("doc_a", "doc_b")) >= 0.95
+    extra = got.select("doc_a", "doc_b").exceptAll(exact.select("doc_a", "doc_b"))
+    assert extra.count() == 0
+
+
+def test_lsh_topk_ensure_k_fills_sparse_queries(spark):
+    # Q4 ascend fallback (ref utils.py:168-187): a query vector orthogonal
+    # to a tight corpus cluster lands in empty leaf buckets; ensure_k must
+    # widen (half-width chunks, then root) and return exactly k rows
+    rng = np.random.RandomState(7)
+    center = rng.standard_normal(64)
+    center /= np.linalg.norm(center)
+    rows = []
+    for i in range(120):
+        v = center + 0.05 * rng.standard_normal(64)
+        rows.append((i, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+    # the sparse-region outlier: orthogonalized against the cluster center
+    out = rng.standard_normal(64)
+    out -= out.dot(center) * center
+    rows.append((999, (out / np.linalg.norm(out)).astype(np.float32).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    k = 5
+    # 4 chunks x 16 bits: very selective blocks — without the fallback the
+    # outlier collects (almost) no candidates
+    bare = lsh_topk(df, df.where(F.col("vec_id") == 999), k=k, dim=64, n_chunks=4)
+    ensured = lsh_topk(
+        df, df.where(F.col("vec_id") == 999), k=k, dim=64, n_chunks=4, ensure_k=True
+    )
+    assert bare.count() < k  # the sparse query really is under-served
+    assert ensured.count() == k
+    # the root fallback is exact, so the filled rows equal brute-force top-k
+    bf = brute_force_topk(df, df.where(F.col("vec_id") == 999), k=k)
+    assert {r.n_id for r in ensured.collect()} == {r.n_id for r in bf.collect()}
+    # every query saturated when querying the full set
+    counts = (
+        lsh_topk(df, df, k=k, dim=64, n_chunks=4, ensure_k=True)
+        .groupBy("q_id")
+        .count()
+        .collect()
+    )
+    assert len(counts) == 121 and all(r["count"] == k for r in counts)

@@ -132,3 +132,33 @@ def test_idempotent_rerun(corpus):
     r2 = minhash_dedup(corpus, CFG).verified.select("doc_a", "doc_b", "jaccard")
     assert r1.exceptAll(r2).count() == 0
     assert r2.exceptAll(r1).count() == 0
+
+
+def test_ngram_exact_complete_with_hot_shingle(spark):
+    # prefix filtering must stay LOSSLESS even when one boilerplate
+    # shingle is shared by every document (the 100-TB skew hazard): the
+    # hot shingle has max df, sorts last, and never enters a prefix —
+    # yet every qualifying pair must still be found
+    boiler = "copyright acme corp all rights"  # one shared 5-gram
+    rows = []
+    # 10 near-dup pairs: doc i and doc i+100 share most content
+    for i in range(10):
+        base = " ".join(f"tok{i}w{j}" for j in range(40))
+        rows.append((i, f"{base} {boiler}"))
+        rows.append((i + 100, f"{base} extraword {boiler}"))
+    # plus unrelated docs that also carry the boilerplate
+    for i in range(200, 230):
+        body = " ".join(f"uniq{i}x{j}" for j in range(40))
+        rows.append((i, f"{body} {boiler}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs_exact(df, threshold=0.5).collect()
+    }
+    import pandas as pd
+
+    expected = true_dup_pairs_oracle(
+        pd.DataFrame(rows, columns=["doc_id", "text"]), threshold=0.5
+    )
+    assert got == expected
+    assert len(expected) >= 10  # the planted pairs are really there

@@ -1,0 +1,127 @@
+"""PLAID centroid pipeline (reference P2-P4, notebooks/plaid.ipynb cells
+5-8): KMeans centroids, inverted index, nprobe/t_cs pruning, centroid
+interaction score — gated against brute-force exact chamfer ranking."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_forest_for_multi_vector_retrieval_spark.operators.chamfer import chamfer_scores
+from lsh_forest_for_multi_vector_retrieval_spark.operators.metrics import mrr_at_k
+from lsh_forest_for_multi_vector_retrieval_spark.operators.plaid import (
+    build_centroids,
+    centroid_index,
+    plaid_topk,
+)
+
+N_DOCS = 40
+TOKS_PER_DOC = 4
+DIM = 32
+
+
+@pytest.fixture(scope="module")
+def doc_vectors(spark):
+    # planted multi-vector corpus: each doc's 4 tokens cluster around a
+    # doc-specific unit direction (the reference's synthetic doc/vector
+    # generator shape, test_forest_vote.py:45-107)
+    rows = []
+    for d in range(N_DOCS):
+        rng = np.random.RandomState(1000 + d)
+        center = rng.standard_normal(DIM)
+        center /= np.linalg.norm(center)
+        for t in range(TOKS_PER_DOC):
+            v = center + 0.15 * rng.standard_normal(DIM)
+            v /= np.linalg.norm(v)
+            rows.append((d, d * TOKS_PER_DOC + t, v.astype(np.float32).tolist()))
+    df = spark.createDataFrame(
+        rows, "doc_id long, vec_id long, embedding array<float>"
+    ).persist()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def query_vectors(spark, doc_vectors):
+    # queries = noisy copies of the tokens of docs 0..7 → planted truth:
+    # query q's best doc is q
+    pdf = doc_vectors.where(F.col("doc_id") < 8).toPandas()
+    rows = []
+    for r in pdf.itertuples():
+        rng = np.random.RandomState(5000 + r.vec_id)
+        v = np.asarray(r.embedding, dtype=np.float64)
+        v = v + 0.1 * rng.standard_normal(DIM)
+        v /= np.linalg.norm(v)
+        rows.append((r.doc_id, r.vec_id, v.astype(np.float32).tolist()))
+    return spark.createDataFrame(
+        rows, "query_id long, vec_id long, embedding array<float>"
+    )
+
+
+@pytest.fixture(scope="module")
+def centroids(doc_vectors):
+    return build_centroids(doc_vectors, k=12, seed=42).persist()
+
+
+def test_centroid_index_covers_every_doc(doc_vectors, centroids):
+    idx = centroid_index(doc_vectors, centroids)
+    # every doc appears; centroid ids are within range
+    assert idx.select("doc_id").distinct().count() == N_DOCS
+    cids = {r.centroid_id for r in idx.select("centroid_id").distinct().collect()}
+    assert cids <= set(range(12))
+    # a doc has at most TOKS_PER_DOC distinct centroids
+    mx = idx.groupBy("doc_id").count().agg(F.max("count")).first()[0]
+    assert mx <= TOKS_PER_DOC
+
+
+def test_plaid_ranks_planted_doc_first(doc_vectors, query_vectors, centroids):
+    # full PLAID: centroid candidates + exact re-rank of the pool
+    got = plaid_topk(doc_vectors, query_vectors, centroids, k=10, nprobe=4, rerank=10)
+    top1 = {r.query_id: r.doc_id for r in got.where(F.col("rank") == 1).collect()}
+    hits = sum(1 for q, d in top1.items() if q == d)
+    assert hits == 8, top1  # every planted query ranks its doc #1
+    # MRR@10 against the planted qrels (the reference's cell-10 metric)
+    rel = query_vectors.select("query_id", F.col("query_id").alias("doc_id")).distinct()
+    mrr = mrr_at_k(
+        got.select(F.col("query_id").alias("q_id"), F.col("doc_id").alias("n_id"), "rank"),
+        rel.select(F.col("query_id").alias("q_id"), F.col("doc_id").alias("n_id")),
+        k=10,
+    )
+    assert mrr >= 0.95, mrr
+    # centroid-only scoring (no exact re-rank) is the quantized
+    # approximation — it may confuse docs sharing centroids, but must
+    # still get most planted queries right
+    coarse = plaid_topk(doc_vectors, query_vectors, centroids, k=10, nprobe=4)
+    ctop1 = {r.query_id: r.doc_id for r in coarse.where(F.col("rank") == 1).collect()}
+    assert sum(1 for q, d in ctop1.items() if q == d) >= 6, ctop1
+
+
+def test_plaid_agrees_with_exact_chamfer_top1(doc_vectors, query_vectors, centroids):
+    # with exact re-rank over the centroid pool, PLAID's argmax matches
+    # the exact chamfer argmax whenever the true best doc reaches the pool
+    got = plaid_topk(doc_vectors, query_vectors, centroids, k=1, nprobe=6, rerank=10)
+    plaid_top1 = {r.query_id: r.doc_id for r in got.collect()}
+    for q in range(8):
+        qv = query_vectors.where(F.col("query_id") == q).select("embedding")
+        exact = (
+            chamfer_scores(doc_vectors, qv)
+            .orderBy(F.desc("chamfer"), F.asc("doc_id"))
+            .first()
+        )
+        assert plaid_top1[q] == exact.doc_id
+
+
+def test_t_cs_pruning_shrinks_candidates(doc_vectors, query_vectors, centroids):
+    # per-token best centroid scores on this fixture: min 0.19 / avg 0.47 /
+    # max 0.75 — t_cs=0.3 prunes real mass without blinding the queries
+    loose = plaid_topk(doc_vectors, query_vectors, centroids, k=40, nprobe=12, t_cs=-1.0)
+    tight = plaid_topk(doc_vectors, query_vectors, centroids, k=40, nprobe=12, t_cs=0.3)
+    assert 0 < tight.count() < loose.count()
+    # pruning must not evict the planted doc from rank 1 (exact re-rank on)
+    tight_rr = plaid_topk(
+        doc_vectors, query_vectors, centroids, k=5, nprobe=12, t_cs=0.3, rerank=5
+    )
+    top1 = {r.query_id: r.doc_id for r in tight_rr.where(F.col("rank") == 1).collect()}
+    hits = sum(1 for q, d in top1.items() if q == d)
+    assert hits >= 7
