@@ -401,6 +401,70 @@ def q_plaid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checked end to end: each document gets a
+    deterministic 16x16x3 rawrgb image whose 768 payload bytes are 48
+    chained md5 digests of its text; the REAL decode -> feature mapInPandas
+    stage (operators/media.py) computes per-channel byte mean/std, and the
+    DuckDB twin recomputes them from the same md5 hex. All quantities are
+    exact dyadic rationals (sums of <=2^40 over 256 = 2^8 samples), so the
+    doubles agree bit-for-bit before the 6dp round."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.media import (
+        with_image_features,
+    )
+
+    docs = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    payload = F.concat(
+        *[F.unhex(F.md5(F.concat(F.col("text"), F.lit(f"x{i}")))) for i in range(48)]
+    )
+    meta = F.struct(
+        F.lit("rawrgb").alias("codec"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+        F.lit(3).alias("channels"),
+        F.lit(1).alias("n_frames"),
+        F.lit(None).cast("int").alias("sample_rate"),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        payload.alias("payload"),
+        meta.alias("meta"),
+    )
+    feats = with_image_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        *[
+            F.round(F.element_at("chan_mean", c + 1), 6).alias(f"mean_{n}")
+            for c, n in enumerate("rgb")
+        ],
+        *[
+            F.round(F.element_at("chan_std", c + 1), 6).alias(f"std_{n}")
+            for c, n in enumerate("rgb")
+        ],
+    )
+
+
+def q_media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs via perceptual average-hash + pigeonhole Hamming
+    blocking over a deterministic planted-group corpus (sources/media.py).
+    float32 luma is not SQL-reproducible — rows-only; the exact planted-set
+    equality gate is tests/test_multimodal.py."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.media import (
+        media_near_dup_pairs,
+    )
+    from lsh_forest_for_multi_vector_retrieval_spark.sources.media import (
+        generate_media,
+    )
+
+    media = generate_media(spark, n_groups=8, group_size=3, n_singletons=16, seed=7)
+    return media_near_dup_pairs(media).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def q_forest_vote_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sigs = with_signatures(docs.select("doc_id", "text"), CFG).select(
@@ -436,7 +500,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_bucket_stats": q_band_bucket_stats,
         "substring_pairs_exact": q_substring_pairs_exact,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
+        "image_channel_stats": q_image_channel_stats,
         # rows-only (genuinely approximate — pytest recall gates instead)
+        "media_near_dups": q_media_near_dups,
         "plaid_topk": q_plaid_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
         "forest_vote_topk": q_forest_vote_topk,
@@ -769,5 +835,35 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cosine_r DESC, n_id ASC)::BIGINT AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        # recompute the rawrgb payload bytes (48 chained md5 digests) in SQL:
+        # payload position i carries byte (i % 16) of md5(text || 'x' || i//16)
+        # and lands in channel i % 3; per-channel mean/std over the 256
+        # samples are exact dyadic rationals -> identical doubles pre-round
+        "image_channel_stats": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0
+            ),
+            bytes AS (
+              SELECT doc_id, (i % 3) AS channel,
+                     ('0x' || substr(md5(text || 'x' || (i // 16)::VARCHAR),
+                                     (i % 16) * 2 + 1, 2))::INT AS b
+              FROM base, (SELECT unnest(generate_series(0, 767)) AS i)
+            ),
+            stats AS (
+              SELECT doc_id, channel,
+                     avg(b) AS m,
+                     sqrt(avg(b * b) - avg(b) * avg(b)) AS s
+              FROM bytes GROUP BY doc_id, channel
+            )
+            SELECT doc_id,
+                   round(max(CASE WHEN channel = 0 THEN m END), 6) AS mean_r,
+                   round(max(CASE WHEN channel = 1 THEN m END), 6) AS mean_g,
+                   round(max(CASE WHEN channel = 2 THEN m END), 6) AS mean_b,
+                   round(max(CASE WHEN channel = 0 THEN s END), 6) AS std_r,
+                   round(max(CASE WHEN channel = 1 THEN s END), 6) AS std_g,
+                   round(max(CASE WHEN channel = 2 THEN s END), 6) AS std_b
+            FROM stats GROUP BY doc_id
         """,
     }
