@@ -146,7 +146,9 @@ def run_headline() -> dict:
     return out
 
 
-def run_single(cpus: int, reps: int = 3) -> dict:
+def run_single(
+    cpus: int, reps: int = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+) -> dict:
     # shuffle partitions FIXED across parallelism levels (like a real
     # cluster where the partition count is sized for the data, not the
     # executor count) so cores are the only variable
@@ -173,11 +175,21 @@ def run_single(cpus: int, reps: int = 3) -> dict:
     }
 
 
-def run_scaling(rounds: int = 3) -> dict:
+def run_scaling(
+    rounds: int = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+) -> dict:
     """Interleaved A/B/A/B sampling: the sandbox VM's capacity varies by
     multiples over minutes, so the two parallelism levels alternate in
     time and the per-level MINIMUM approximates quiet-window performance
-    for both fairly. Each sample is a fresh JVM (subprocess)."""
+    for both fairly. Each sample is a fresh JVM (subprocess).
+
+    The scaling corpus is 4x the headline corpus (160k docs,
+    $SPARK_GRAFT_SCALING_DOCS to override): strong-scaling efficiency is
+    only meaningful when the parallel fraction dominates the fixed
+    per-job scheduling latency (~1-2 s/job regardless of cores) — at 40k
+    docs the local[32] leg finishes in ~35 s and Amdahl's fixed ~15 s
+    caps efficiency at ~0.6 no matter how well the operators scale."""
+    scaling_docs = os.environ.get("SPARK_GRAFT_SCALING_DOCS", "160000")
     samples: dict[int, list[dict]] = {8: [], 32: []}
     for _ in range(rounds):
         for cpus in (8, 32):
@@ -185,7 +197,11 @@ def run_scaling(rounds: int = 3) -> dict:
                 [sys.executable, __file__, "--single-run", str(cpus)],
                 capture_output=True,
                 text=True,
-                env={**os.environ, "PYTHONPATH": str(Path(__file__).parent)},
+                env={
+                    **os.environ,
+                    "PYTHONPATH": str(Path(__file__).parent),
+                    "SPARK_GRAFT_BENCH_DOCS": scaling_docs,
+                },
             )
             lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
             if lines:

@@ -106,3 +106,21 @@ def test_connected_components_long_chain(spark):
     assert got.select("cluster_id").distinct().count() == 1
     assert got.count() == 31
     assert got.agg(F.min("cluster_id")).first()[0] == 0
+
+
+def test_connected_components_paths_agree(spark):
+    # the size-gated driver union-find and the distributed hash-min loop
+    # must produce the identical labeling (cluster_id = component min) on a
+    # graph with chains, merges, duplicate + reversed edges, and self-loops
+    import random
+
+    rng = random.Random(7)
+    edges_py = [(i, i + 1) for i in range(0, 40, 2)]          # 20 two-node comps
+    edges_py += [(100 + i, 100 + i + 1) for i in range(15)]   # one 16-node chain
+    edges_py += [(rng.randrange(200, 230), rng.randrange(200, 230)) for _ in range(40)]
+    edges_py += [(b, a) for a, b in edges_py[:10]] + [(300, 300)]
+    edges = spark.createDataFrame(edges_py, "doc_a long, doc_b long")
+    driver = connected_components(edges)  # gate: tiny -> union-find
+    dist = connected_components(edges, driver_max_edges=0)  # forced loop
+    assert driver.exceptAll(dist).count() == 0
+    assert dist.exceptAll(driver).count() == 0
