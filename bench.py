@@ -81,6 +81,7 @@ def _flagship(spark, docs):
     n_clusters = res.clusters.select("cluster_id").distinct().count()
     n_pairs = res.verified.count()
     res.signatures.unpersist()
+    res.verified.unpersist()
     return n_clusters, n_pairs
 
 

@@ -65,6 +65,12 @@ def minhash_dedup(
     bands = band_table(sigs, cfg)
     cands = candidate_pairs(bands, cfg)
     verified = verify_pairs(cands, sigs, cfg)
+    if persist_intermediates:
+        # verified is read >=3 times downstream (the CC size-gate count,
+        # the gate collect / first CC iteration, and whatever the caller
+        # does with .verified) — without this the whole band->pair->verify
+        # chain recomputes each time; the table itself is tiny
+        verified = verified.persist()
     clusters = connected_components(
         verified,
         all_vertices=sigs.select("doc_id"),
