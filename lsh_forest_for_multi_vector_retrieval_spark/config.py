@@ -51,6 +51,11 @@ class DedupConfig:
     # above this size get a longer prefix before pair generation.
     adaptive_max_bucket: int = 1024
     adaptive_max_extra_rows: int = 4
+    # Flagship band strategy: False = fixed-depth bands + max_bucket_docs
+    # cap (default; the cap ledger records drops), True = variable-depth
+    # adaptive_band_table (deepen hot buckets instead of capping them).
+    # tools/adaptive_ab.py A/Bs the two on a boilerplate-heavy corpus.
+    use_adaptive_bands: bool = False
 
     # --- connected components ---
     cc_max_iterations: int = 50

@@ -128,8 +128,10 @@ def to_grayscale(frame: np.ndarray) -> np.ndarray:
 
 
 def average_hash(frame: np.ndarray, hash_side: int = 8) -> int:
-    """Perceptual average-hash: grayscale -> resize to 8x8 -> threshold at
-    the mean -> pack 64 bits (row-major, MSB first) into a signed int64.
+    """Perceptual average-hash: resize to 8x8 (nearest) -> grayscale ->
+    threshold at the mean -> pack 64 bits (row-major, MSB first) into a
+    signed int64. (Resize-then-luma, matching the code below — the two
+    orders produce different hashes; ADVICE round-2.)
     Near-identical images land within small Hamming distance, so the
     SimHash pigeonhole blocking (operators/dedup.py:109) applies as-is."""
     g = resize_nearest(frame, hash_side, hash_side)

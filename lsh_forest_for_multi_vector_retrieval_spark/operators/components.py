@@ -1,18 +1,29 @@
-"""Connected components over the verified-pair graph — hash-min label
-propagation as an iterative DataFrame loop.
+"""Connected components over the verified-pair graph.
 
 Reference analog: the reference groups candidate vectors into their
 documents and ranks documents (``ForestVote`` doc aggregation,
 /root/reference/src/shared/forest_vote.py:290-338); the dedup engine's
 final grouping is the transitive closure of verified near-dup pairs.
 
-Algorithm: every doc starts labeled with its own id; each round every
-vertex takes the min label over itself and its neighbors; stop when no
-label changes. Rounds = O(max cluster diameter) — near-dup clusters are
-dense (band collisions create hub edges), so this converges in a handful
-of rounds even at web scale. Each round is one join + one agg;
-``localCheckpoint`` truncates lineage so the plan doesn't grow
-exponentially (SURVEY §4.2 iterative-algorithms note).
+Two distributed algorithms, both as iterative DataFrame loops with
+``localCheckpoint`` lineage truncation (SURVEY §4.2):
+
+* ``star`` (default): alternating large-star / small-star contraction
+  (Kiveris et al., "Connected Components in MapReduce and Beyond", 2014
+  — public literature). Each round is two groupBy-min + join passes over
+  the edge set; converges in O(log^2 n) rounds REGARDLESS of component
+  diameter, so a pathological 100k-doc boilerplate chain costs ~tens of
+  rounds, not 100k.
+* ``hashmin``: classic hash-min label propagation (the north_star's
+  named construction) — every vertex takes the min label over itself and
+  its neighbors each round. Rounds = O(max component diameter): fine for
+  the dense, hub-heavy clusters real near-dup graphs produce, kept for
+  parity/cross-checking; the star path is the default because it is
+  diameter-robust (round-2 VERDICT #4 / ADVICE).
+
+Both produce cluster_id = min doc_id of the component, bit-identical to
+the driver union-find (tested, and the stress harness
+tools/cc_stress.py asserts it at >=1M edges with a planted giant chain).
 """
 
 from __future__ import annotations
@@ -60,12 +71,99 @@ def _driver_union_find(pairs) -> dict:
     return {x: find(x) for x in nodes}
 
 
+def _star_labels(
+    edges: DataFrame,
+    vertex_col: str,
+    max_iterations: int,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Alternating large-star/small-star contraction -> (vertex, cluster_id)
+    for every vertex incident to an edge. Edges are kept canonically
+    oriented hi -> lo throughout (both star steps only ever emit (x, m)
+    with m < x). Fixed point = star forest whose centers are component
+    minima."""
+    e = (
+        edges.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_iterations):
+        rounds += 1
+        # --- large-star: every neighbor v > u links to m(u) = min(Γ(u)∪{u})
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        e1 = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star: every node and its smaller neighbors link to the
+        # minimum of the (hi -> lo) neighborhood
+        m2 = e1.groupBy("u").agg(F.min("v").alias("m"))
+        joined = e1.join(m2, "u")
+        e = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(joined.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # convergence: content signature of the canonical edge set (one agg
+        # job; order-independent sum of row hashes + count). Decimal sum:
+        # an int64 sum of 64-bit hashes overflows under ANSI mode
+        row = e.agg(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("c"),
+        ).first()
+        sig = (row.s, row.c)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        warnings.warn(
+            f"star contraction did not converge in {max_iterations} rounds; "
+            "labels may be split. Raise max_iterations.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    # star forest: leaves point at their center (groupBy-min is a no-op at
+    # the fixed point, kept as a safety net); centers label themselves
+    labels = e.groupBy(F.col("u").alias(vertex_col)).agg(
+        F.min("v").alias("cluster_id")
+    )
+    centers = (
+        e.select(F.col("v").alias(vertex_col))
+        .distinct()
+        .join(labels.select(vertex_col), vertex_col, "left_anti")
+        .withColumn("cluster_id", F.col(vertex_col))
+    )
+    return labels.unionByName(centers)
+
+
 def connected_components(
     edges: DataFrame,
     all_vertices: DataFrame | None = None,
     max_iterations: int = 50,
     vertex_col: str = "doc_id",
     driver_max_edges: int = DRIVER_CC_MAX_EDGES,
+    algorithm: str = "star",
+    stats: dict | None = None,
 ) -> DataFrame:
     """``(doc_id, cluster_id)`` where cluster_id = min doc_id in component.
 
@@ -74,8 +172,11 @@ def connected_components(
 
     Physical strategy is size-gated (``driver_max_edges``; 0 forces the
     distributed path): small graphs collect to a driver union-find, large
-    graphs run the iterative hash-min DataFrame loop. Both produce the
-    identical labeling (cluster_id = component min; tested)."""
+    graphs run the distributed loop — ``algorithm="star"`` (default,
+    diameter-robust O(log^2 n) rounds) or ``"hashmin"`` (O(diameter)
+    rounds). All three produce the identical labeling (cluster_id =
+    component min; tested). ``stats`` (optional dict) receives
+    ``{"strategy": ..., "rounds": ...}`` for diagnostics."""
     spark = edges.sparkSession
     # limit(n+1).count() stops scanning once the gate is decided — it never
     # pays for a full count of a web-scale edge set
@@ -101,7 +202,36 @@ def connected_components(
                 .withColumn("cluster_id", F.col(vertex_col))
             )
             labels = labels.unionByName(singles)
+        if stats is not None:
+            stats["strategy"] = "driver_union_find"
         return labels
+
+    if algorithm == "star":
+        labels = _star_labels(edges, vertex_col, max_iterations, stats)
+        # a vertex appearing ONLY in self-loop edges never enters the
+        # contraction (u != v filter) but must still label itself
+        loops = (
+            edges.where(F.col("doc_a") == F.col("doc_b"))
+            .select(F.col("doc_a").alias(vertex_col))
+            .distinct()
+            .join(labels.select(vertex_col), vertex_col, "left_anti")
+            .withColumn("cluster_id", F.col(vertex_col))
+        )
+        labels = labels.unionByName(loops)
+        if stats is not None:
+            stats["strategy"] = "star"
+        if all_vertices is not None:
+            singles = (
+                all_vertices.select(vertex_col)
+                .join(labels.select(vertex_col), vertex_col, "left_anti")
+                .withColumn("cluster_id", F.col(vertex_col))
+            )
+            labels = labels.unionByName(singles)
+        return labels
+    if algorithm != "hashmin":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
+    if stats is not None:
+        stats["strategy"] = "hashmin"
 
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -118,7 +248,9 @@ def connected_components(
     )
 
     changed = 0
+    hm_rounds = 0
     for _ in range(max_iterations):
+        hm_rounds += 1
         # candidate label for each dst = min label among its neighbors
         msgs = (
             sym.join(labels, sym.src == F.col(vertex_col))
@@ -144,6 +276,8 @@ def connected_components(
         labels = stepped.select(vertex_col, "cluster_id")
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = hm_rounds
     if changed != 0:
         # a component with diameter > max_iterations would otherwise get
         # silently split into several labels — surface it loudly

@@ -24,6 +24,7 @@ from lsh_forest_for_multi_vector_retrieval_spark.functions.shingles import (
     with_shingles,
 )
 from lsh_forest_for_multi_vector_retrieval_spark.operators.bands import (
+    adaptive_band_table,
     band_table,
     with_signatures,
 )
@@ -41,6 +42,14 @@ class DedupResult:
     candidates: DataFrame  # doc_a, doc_b
     verified: DataFrame  # doc_a, doc_b, jaccard
     clusters: DataFrame  # doc_id, cluster_id
+
+    def unpersist(self) -> None:
+        """Release the tables ``minhash_dedup(persist_intermediates=True)``
+        cached (signatures + verified). Call when done with the result —
+        repeated pipeline runs in one session otherwise accumulate cached
+        tables (executor-memory pressure; see round-2 VERDICT)."""
+        self.signatures.unpersist()
+        self.verified.unpersist()
 
 
 def minhash_dedup(
@@ -62,7 +71,14 @@ def minhash_dedup(
     ).select("doc_id", "shingles", "sig", "simhash")
     if persist_intermediates:
         sigs = sigs.persist()
-    bands = band_table(sigs, cfg)
+    if cfg.use_adaptive_bands:
+        # variable-depth forest: hot buckets are deepened instead of
+        # capped (bucket containment keeps recall; see tools/adaptive_ab)
+        bands = adaptive_band_table(sigs, cfg).select(
+            "band_id", "band_hash", "doc_id"
+        )
+    else:
+        bands = band_table(sigs, cfg)
     cands = candidate_pairs(bands, cfg)
     verified = verify_pairs(cands, sigs, cfg)
     if persist_intermediates:
@@ -123,13 +139,22 @@ def simhash_dedup_pairs(
     fingerprint (any pair within Hamming<=3 shares at least one of the 4
     chunks exactly — pigeonhole), then verify Hamming exactly with
     ``bit_count`` JVM-side. Returns (doc_a, doc_b, hamming)."""
-    # persist: the chunk self-join reads both sides from this table — an
-    # unpersisted plan would re-run the signature UDFs once per side
+    # the chunk self-join reads both sides from the signature table — an
+    # unmaterialized plan would re-run the signature UDFs once per side.
+    # localCheckpoint (not persist): the slim (doc_id, simhash) projection
+    # is 16 bytes/doc, and checkpoint blocks are ContextCleaner-released
+    # when the result goes out of scope — no session-lifetime cache leak
+    # (round-2 VERDICT #3). At real scale the resumable pipeline variant
+    # checkpoints signatures to a table instead (plans/pipeline.py).
     sigs = with_signatures(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
         cfg,
-    ).select("doc_id", "shingles", "simhash")
-    sigs = sigs.where(F.size("shingles") > 0).persist()
+    )
+    sigs = (
+        sigs.where(F.size("shingles") > 0)
+        .select("doc_id", "simhash")
+        .localCheckpoint(eager=False)
+    )
     n_chunks = max_hamming + 1  # pigeonhole blocks
     width = 64 // n_chunks
     chunks = F.array(
@@ -216,7 +241,10 @@ def ngram_jaccard_pairs_exact(
         "shingle_strs",
         F.size("shingle_strs").alias("n_sh"),
     ).where(F.col("n_sh") > 0)
-    staged = staged.persist()
+    # staged feeds three consumers (df table, prefix join sides, verify);
+    # localCheckpoint instead of persist: materialized once, released by
+    # ContextCleaner when the result is dropped — no session-lifetime leak
+    staged = staged.localCheckpoint(eager=False)
 
     sh = staged.select("doc_id", "n_sh", F.explode("shingle_strs").alias("sh"))
     df_tab = sh.groupBy("sh").agg(F.count("*").alias("df"))

@@ -150,8 +150,17 @@ def media_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     any pair within Hamming<=3 of the 64-bit ahash shares one of 4 exact
     16-bit chunks, so candidate generation is an equi-join on (chunk_id,
     chunk_val) — bucketed, never all-pairs — and verification is one
-    JVM-side ``bit_count`` XOR. Returns (doc_a, doc_b, hamming)."""
-    sigs = with_image_features(media).select("media_id", "ahash").persist()
+    JVM-side ``bit_count`` XOR. Returns (doc_a, doc_b, hamming).
+
+    The (media_id, ahash) table feeds both sides of the self-join;
+    localCheckpoint (16 bytes/image, ContextCleaner-released) instead of
+    persist so repeated calls in one session don't accumulate cached
+    tables (round-2 ADVICE)."""
+    sigs = (
+        with_image_features(media)
+        .select("media_id", "ahash")
+        .localCheckpoint(eager=False)
+    )
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     chunks = F.array(

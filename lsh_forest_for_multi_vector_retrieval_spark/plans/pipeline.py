@@ -18,8 +18,10 @@ stages, so the runner stays generic.
 from __future__ import annotations
 
 import json
+import re
 import time
 import uuid
+import warnings
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -57,6 +59,96 @@ def _is_complete(path: Path) -> bool:
     return (path / "_SUCCESS").exists()
 
 
+class CheckpointIO:
+    """Per-stage checkpoint reader/writer behind the
+    ``DedupConfig.checkpoint_format`` knob.
+
+    ``"iceberg"``: each stage is an Iceberg table
+    ``<catalog>.<namespace>.<stage>`` with a ``bucket(16, doc_id)``
+    partition spec (SURVEY §1.3/§4.2 — the url-hash-bucket layout; at
+    scale the bucketed spec co-locates the verify join and makes
+    checkpoints time-travelable/compactable). Requires the
+    iceberg-spark-runtime jar and an Iceberg catalog in the session conf;
+    when either is missing (this sandbox ships no Iceberg jars) it FALLS
+    BACK to parquet with a warning, so the knob degrades instead of
+    failing.
+
+    ``"parquet"`` (default): one directory per stage under ``workdir``,
+    completeness = ``_SUCCESS`` marker.
+    """
+
+    def __init__(self, spark: SparkSession, workdir: str, requested: str = "parquet"):
+        if requested not in ("parquet", "iceberg"):
+            raise ValueError(f"unknown checkpoint_format: {requested!r}")
+        self.spark = spark
+        self.workdir = workdir
+        self.requested = requested
+        self.catalog: str | None = None
+        self.active = "parquet"
+        if requested == "iceberg":
+            self.catalog = self._find_iceberg_catalog()
+            if self.catalog is None:
+                warnings.warn(
+                    "checkpoint_format='iceberg' requested but no Iceberg "
+                    "runtime/catalog is configured in this SparkSession — "
+                    "falling back to parquet checkpoints",
+                    stacklevel=2,
+                )
+            else:
+                self.active = "iceberg"
+        self.namespace = "ckpt_" + re.sub(
+            r"[^A-Za-z0-9_]", "_", Path(workdir).name
+        )
+        if self.active == "iceberg":
+            self.spark.sql(
+                f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}"
+            )
+
+    def _find_iceberg_catalog(self) -> str | None:
+        try:
+            self.spark._jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.SparkCatalog"
+            )
+        except Exception:
+            return None
+        # any spark.sql.catalog.<name> bound to an Iceberg catalog impl
+        try:
+            conf = self.spark.sparkContext.getConf().getAll()
+        except Exception:
+            return None
+        for key, val in conf:
+            m = re.fullmatch(r"spark\.sql\.catalog\.([A-Za-z0-9_]+)", key)
+            if m and "iceberg" in val.lower():
+                return m.group(1)
+        return None
+
+    def _table(self, stage: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{stage}"
+
+    def exists(self, stage: str) -> bool:
+        if self.active == "iceberg":
+            return self.spark.catalog.tableExists(self._table(stage))
+        return _is_complete(_stage_dir(self.workdir, stage))
+
+    def read(self, stage: str) -> DataFrame:
+        if self.active == "iceberg":
+            return self.spark.read.table(self._table(stage))
+        return self.spark.read.parquet(str(_stage_dir(self.workdir, stage)))
+
+    def write(self, df: DataFrame, stage: str, partition_cols: tuple[str, ...]) -> None:
+        if self.active == "iceberg":
+            writer = df.writeTo(self._table(stage)).using("iceberg")
+            if "doc_id" in df.columns:
+                writer = writer.partitionedBy(F.bucket(16, F.col("doc_id")))
+            elif partition_cols:
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_cols])
+            writer.createOrReplace()
+            return
+        if partition_cols:
+            df = df.repartition(*[F.col(c) for c in partition_cols])
+        df.write.mode("overwrite").parquet(str(_stage_dir(self.workdir, stage)))
+
+
 def partition_lineage(df: DataFrame) -> list[dict]:
     """Per-partition row counts — the lineage record (north_rule).
     Computed with ``spark_partition_id``, one narrow agg."""
@@ -69,12 +161,19 @@ def partition_lineage(df: DataFrame) -> list[dict]:
 
 
 class Pipeline:
-    def __init__(self, stages: list[Stage], workdir: str):
+    def __init__(
+        self,
+        stages: list[Stage],
+        workdir: str,
+        checkpoint_format: str = "parquet",
+    ):
         names = [s.name for s in stages]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate stage names: {names}")
         self.stages = stages
         self.workdir = workdir
+        self.checkpoint_format = checkpoint_format
+        self.active_format: str | None = None  # set at run() time
 
     def run(
         self,
@@ -88,24 +187,21 @@ class Pipeline:
         invalidates a stage and everything after it."""
         run = PipelineRun(self.workdir, run_id or uuid.uuid4().hex[:12])
         Path(self.workdir).mkdir(parents=True, exist_ok=True)
+        io = CheckpointIO(spark, self.workdir, self.checkpoint_format)
+        self.active_format = io.active
         invalid = False
         for stage in self.stages:
             if force_from == stage.name:
                 invalid = True
-            path = _stage_dir(self.workdir, stage.name)
-            if resume and not invalid and _is_complete(path):
-                run.outputs[stage.name] = spark.read.parquet(str(path))
+            if resume and not invalid and io.exists(stage.name):
+                run.outputs[stage.name] = io.read(stage.name)
                 run.skipped.append(stage.name)
                 continue
             invalid = True  # downstream of a recomputed stage recomputes
             t0 = time.perf_counter()
             out = stage.fn(spark, run.outputs)
-            writer = out.write.mode("overwrite")
-            if stage.write_partition_cols:
-                out = out.repartition(*[F.col(c) for c in stage.write_partition_cols])
-                writer = out.write.mode("overwrite")
-            writer.parquet(str(path))
-            persisted = spark.read.parquet(str(path))
+            io.write(out, stage.name, stage.write_partition_cols)
+            persisted = io.read(stage.name)
             run.outputs[stage.name] = persisted
             wall = time.perf_counter() - t0
             extra = (
@@ -229,4 +325,5 @@ def dedup_pipeline(
             Stage("clusters", s_clusters),
         ],
         workdir,
+        checkpoint_format=cfg.checkpoint_format,
     )

@@ -149,6 +149,79 @@ def test_forest_vote_ranks_planted_duplicate_first(spark):
         assert r.score == pytest.approx(1.0)  # max-normalized
 
 
+def test_forest_vote_node_cap_preserves_topk(spark):
+    # F5 pivot-cap semantics (reference lsh_forest.py:117-119): excluding
+    # trie nodes with > max_node_docs corpus docs before the query join
+    # must leave top-k essentially unchanged (mega-nodes carry ~zero score
+    # after the popularity IDF), while actually pruning something. A
+    # shared boilerplate footer forces depth-1 mega-nodes (the 100-TB
+    # skew shape: every page of a site shares chrome).
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.forest_vote import (
+        prefix_table,
+    )
+    from lsh_forest_for_multi_vector_retrieval_spark.sources.pages import generate_pages
+
+    boiler = (
+        " copyright example site all rights reserved privacy terms of"
+        " service cookie notice subscribe to our newsletter follow us"
+    )
+    # clusters of 6: each query (member 1 of its cluster) has 5 genuine
+    # near-dup cluster-mates, so its top-5 is saturated by real matches —
+    # the cap may only touch junk-tail candidates, which is precisely the
+    # semantics it promises (mega-nodes carry ~zero score)
+    n_cl, csz = 25, 6
+    pages = generate_pages(
+        spark, n_clusters=n_cl, cluster_size=csz, n_singletons=50,
+        max_mutation=0.05, seed=11,
+    ).withColumn("text", F.concat(F.col("text"), F.lit(boiler * 3)))
+    cfg = DedupConfig()
+    sigs = with_signatures(pages.select("doc_id", "text"), cfg).select(
+        "doc_id", "shingles", "sig"
+    ).persist()
+    queries = sigs.where(
+        (F.col("doc_id") < n_cl * csz) & (F.col("doc_id") % csz == 1)
+    )
+    corpus = sigs.where(
+        (F.col("doc_id") % csz != 1) | (F.col("doc_id") >= n_cl * csz)
+    )
+
+    # cap sits in the size gap between content-bearing nodes (<=~42 docs
+    # here — measured histogram: <=9 content, 22-42 partial-boilerplate,
+    # one 118-doc global-boilerplate node) and the corpus-wide mega-node —
+    # mirroring the production default (512) vs real corpora, where the
+    # gap is orders of magnitude
+    cap = 48
+    # the cap must be non-vacuous on this fixture: boilerplate creates
+    # nodes holding more than `cap` of the ~175 corpus docs
+    node_sizes = (
+        prefix_table(corpus, cfg)
+        .groupBy("band_id", "depth", "prefix_hash")
+        .count()
+    )
+    assert node_sizes.where(F.col("count") > cap).count() > 0
+
+    capped = {
+        (r.query_id, r.doc_id)
+        for r in get_top_k(
+            forest_vote_scores(corpus, queries, cfg, max_node_docs=cap), k=5
+        ).collect()
+    }
+    uncapped = {
+        (r.query_id, r.doc_id)
+        for r in get_top_k(
+            forest_vote_scores(corpus, queries, cfg, max_node_docs=None), k=5
+        ).collect()
+    }
+    # planted base doc still ranks in top-5 for every query under the cap
+    for c in range(n_cl):
+        assert (c * csz + 1, c * csz) in capped
+    # membership shift < 1% of top-k entries (only boilerplate-only tail
+    # matches — near-zero score — may drop out)
+    diff = len(capped ^ uncapped)
+    assert diff / max(len(uncapped), 1) < 0.01, f"top-k changed: {diff} memberships"
+    sigs.unpersist()
+
+
 def test_pair_recall_precision(spark):
     pred = spark.createDataFrame([(1, 2), (3, 4), (5, 6)], "doc_a long, doc_b long")
     truth = spark.createDataFrame([(1, 2), (3, 4), (7, 8)], "doc_a long, doc_b long")

@@ -47,7 +47,9 @@ def oracle_pairs(corpus):
 
 @pytest.fixture(scope="module")
 def result(corpus):
-    return minhash_dedup(corpus, CFG)
+    res = minhash_dedup(corpus, CFG)
+    yield res
+    res.unpersist()
 
 
 def test_dup_pair_recall_ge_099(result, oracle_pairs):
@@ -128,10 +130,14 @@ def test_simhash_pairs_catch_exact_dups(corpus):
 def test_idempotent_rerun(corpus):
     # same input -> identical verified pairs (determinism across runs;
     # north_rule reproducibility)
-    r1 = minhash_dedup(corpus, CFG).verified.select("doc_a", "doc_b", "jaccard")
-    r2 = minhash_dedup(corpus, CFG).verified.select("doc_a", "doc_b", "jaccard")
+    res1 = minhash_dedup(corpus, CFG)
+    res2 = minhash_dedup(corpus, CFG)
+    r1 = res1.verified.select("doc_a", "doc_b", "jaccard")
+    r2 = res2.verified.select("doc_a", "doc_b", "jaccard")
     assert r1.exceptAll(r2).count() == 0
     assert r2.exceptAll(r1).count() == 0
+    res1.unpersist()
+    res2.unpersist()
 
 
 def test_ngram_exact_complete_with_hot_shingle(spark):

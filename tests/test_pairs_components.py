@@ -121,6 +121,31 @@ def test_connected_components_paths_agree(spark):
     edges_py += [(b, a) for a, b in edges_py[:10]] + [(300, 300)]
     edges = spark.createDataFrame(edges_py, "doc_a long, doc_b long")
     driver = connected_components(edges)  # gate: tiny -> union-find
-    dist = connected_components(edges, driver_max_edges=0)  # forced loop
-    assert driver.exceptAll(dist).count() == 0
-    assert dist.exceptAll(driver).count() == 0
+    for algo in ("star", "hashmin"):
+        dist = connected_components(
+            edges, driver_max_edges=0, algorithm=algo
+        )  # forced distributed loop
+        assert driver.exceptAll(dist).count() == 0, algo
+        assert dist.exceptAll(driver).count() == 0, algo
+
+
+def test_star_contraction_is_diameter_robust(spark):
+    # a 2,000-vertex path has diameter 2,000: hash-min would need 2,000
+    # rounds, the star contraction must finish in O(log^2 n) — and still
+    # label every vertex with the component min (round-2 VERDICT #4; the
+    # >=1M-edge artifact is tools/cc_stress.py -> CC_STRESS.json)
+    n = 2000
+    edges = (
+        spark.range(n - 1)
+        .selectExpr("id as doc_a", "id + 1 as doc_b")
+    )
+    stats = {}
+    got = connected_components(
+        edges, driver_max_edges=0, algorithm="star", stats=stats
+    )
+    assert stats["strategy"] == "star"
+    assert stats["rounds"] <= 25, stats
+    assert got.count() == n
+    assert got.select("cluster_id").distinct().count() == 1
+    assert got.agg(F.min("cluster_id")).first()[0] == 0
+    assert got.where(F.col("cluster_id") != 0).count() == 0

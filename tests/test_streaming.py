@@ -31,10 +31,12 @@ def test_incremental_equals_batch(spark, tmp_path):
         for r in inc.pairs(spark).select("doc_a", "doc_b").distinct().collect()
     }
 
+    res = minhash_dedup(pages, CFG)
     want = {
         (r.doc_a, r.doc_b)
-        for r in minhash_dedup(pages, CFG).verified.select("doc_a", "doc_b").collect()
+        for r in res.verified.select("doc_a", "doc_b").collect()
     }
+    res.unpersist()
     # history-join recall: every batch-mode pair must be found, split across
     # arrivals (band collisions are deterministic, so equality holds)
     assert got == want
@@ -50,6 +52,8 @@ def test_streaming_file_source(spark, tmp_path):
     inc = IncrementalDedup(str(tmp_path / "state2"), CFG)
     inc.run_available(spark, inp)
     got = inc.pairs(spark)
-    want = minhash_dedup(pages, CFG).verified
+    res = minhash_dedup(pages, CFG)
+    want = res.verified
     assert got.select("doc_a", "doc_b").exceptAll(want.select("doc_a", "doc_b")).count() == 0
     assert want.select("doc_a", "doc_b").exceptAll(got.select("doc_a", "doc_b")).count() == 0
+    res.unpersist()

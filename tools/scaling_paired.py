@@ -4,12 +4,25 @@ The sandbox VM's available throughput swings by multiples over multi-minute
 windows, so independent best-of-N legs at each parallelism level can land
 in different load regimes and produce nonsense ratios (observed: the same
 local[32] job in 39 s and 280 s within one hour). This harness holds BOTH
-SparkSessions resident (one local[8], one local[32] JVM — idle JVMs cost no
-CPU) and alternates single flagship passes 32,8,32,8,... so adjacent
-samples see near-identical background load. It reports:
+SparkSessions resident (one per parallelism level — idle JVMs cost no
+CPU) and alternates single flagship passes big,small,big,small,... so
+adjacent samples see near-identical background load. It reports:
 
-  * per-level minima (quiet-window throughput at each level), and
-  * efficiency from the per-level minima: (T8/T32)/(32/8)
+  * per-level minima (quiet-window throughput at each level),
+  * efficiency from the per-level minima: (T_small/T_big)/(big/small),
+  * per-pass pairwise efficiencies and a throttled-pair classification
+    (a pair where BOTH legs run far above their level minimum is a
+    VM-throttle window: the hypervisor caps total deliverable CPU, both
+    levels run at the cap, and the ratio collapses toward 1 regardless
+    of the job — such pairs carry no scaling information).
+
+Robustness (round-3): worker stderr goes to a log file (not DEVNULL), a
+dead worker is detected on empty readline and reported with its exit code
+and log tail, both workers are terminated in a finally block, and the
+sampling loop is wall-clock budgeted (SPARK_GRAFT_SCALING_BUDGET seconds,
+default 2400) so a throttled window degrades the artifact instead of
+aborting the round: the loop keeps sampling until it has `passes` pairs
+or the budget runs out, with whatever completed recorded honestly.
 
 Workers are subprocesses driven over a stdin/stdout line protocol; the
 measured job is bench.py's flagship (minhash_dedup end-to-end) on the
@@ -17,8 +30,9 @@ shared deterministic corpus, shuffle partitions fixed at 64 across levels
 (a real cluster sizes partitions for the data, not the executor count).
 
 Usage: python tools/scaling_paired.py [passes_per_level] [n_docs] [small] [big]
-(small/big = the two local[N] parallelism levels, default 8 and 32).
-Writes BENCH_SCALING.json.
+(small/big = the two local[N] parallelism levels, default 2 and 8 — the
+substrate's linear region per BASELINE.md; 8v32 is substrate-saturated).
+Writes BENCH_SCALING.json and BENCH_SCALING_{small}v{big}.json.
 """
 
 from __future__ import annotations
@@ -31,6 +45,7 @@ import time
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
+LOG_DIR = Path("/tmp/spark_graft_scaling")
 
 WORKER_CODE = r"""
 import sys, time
@@ -42,7 +57,7 @@ from lsh_forest_for_multi_vector_retrieval_spark.operators.dedup import minhash_
 cpus = int(sys.argv[1])
 corpus = sys.argv[2]
 spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=64,
-                  driver_memory="48g",
+                  driver_memory="40g",
                   extra_conf={{"spark.ui.showConsoleProgress": "false"}})
 docs = spark.read.parquet(corpus)
 n = docs.count()
@@ -51,8 +66,7 @@ def flagship():
     res = minhash_dedup(docs, DedupConfig())
     nc = res.clusters.select("cluster_id").distinct().count()
     npairs = res.verified.count()
-    res.signatures.unpersist()
-    res.verified.unpersist()
+    res.unpersist()
     return nc, npairs
 
 flagship()  # warm-up: JVM JIT, python workers, shuffle dirs
@@ -67,11 +81,55 @@ spark.stop()
 """
 
 
+def _spin(reps: int) -> float:
+    t0 = time.perf_counter()
+    x = 1.0
+    for _ in range(reps):
+        x = (x * 1.000001) % 97.0
+    return time.perf_counter() - t0
+
+
+def _cpu_probe(n_procs: int, reps: int = 4_000_000) -> float:
+    """Deliverable-CPU probe: run ``n_procs`` CPU-bound pure-Python
+    processes (GIL-free via multiprocessing) doing one fixed work quantum
+    each (~0.3 s), and return effective parallel cores = n * t_single /
+    t_parallel. On a healthy VM this reads ~n; under a hypervisor cap it
+    reads the cores actually deliverable RIGHT NOW — an independent
+    throttle detector recorded next to each measured leg."""
+    import multiprocessing as mp
+
+    single = _spin(reps)
+    with mp.get_context("fork").Pool(n_procs) as pool:
+        t0 = time.perf_counter()
+        pool.map(_spin, [reps] * n_procs)
+        multi = time.perf_counter() - t0
+    return round(n_procs * single / multi, 2) if multi > 0 else 0.0
+
+
+def _log_tail(cpus: int, lines: int = 15) -> str:
+    p = LOG_DIR / f"worker_{cpus}.log"
+    if not p.exists():
+        return "(no log)"
+    return "\n".join(p.read_text(errors="replace").splitlines()[-lines:])
+
+
+def _read_line(w: subprocess.Popen, cpus: int) -> str:
+    """Blocking readline with dead-worker detection (ADVICE round-2)."""
+    line = w.stdout.readline()
+    if line:
+        return line
+    rc = w.poll()
+    raise RuntimeError(
+        f"worker local[{cpus}] died (exit={rc}); stderr tail:\n{_log_tail(cpus)}"
+    )
+
+
 def main() -> int:
-    passes = int(sys.argv[1]) if len(sys.argv) > 1 else 6
-    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 160_000
-    small = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    big = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    passes = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 80_000
+    small = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    big = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "2400"))
 
     # corpus via bench.py helpers (deterministic, seed 42)
     os.environ["SPARK_GRAFT_BENCH_DOCS"] = str(n_docs)
@@ -82,74 +140,124 @@ def main() -> int:
     corpus = bench._ensure_bench_corpus(spark)
     spark.stop()
 
+    LOG_DIR.mkdir(exist_ok=True)
     code = WORKER_CODE.format(root=str(ROOT))
     workers: dict[int, subprocess.Popen] = {}
-    for cpus in (small, big):
-        workers[cpus] = subprocess.Popen(
-            [sys.executable, "-u", "-c", code, str(cpus), corpus],
-            stdin=subprocess.PIPE,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL,
-            text=True,
-        )
-    n = None
-    for cpus, w in workers.items():
-        for line in w.stdout:
-            if line.startswith("READY"):
-                n = int(line.split()[1])
-                break
-        print(f"worker local[{cpus}] ready, n={n}", flush=True)
-
+    logs: dict[int, object] = {}
     samples: dict[int, list[float]] = {small: [], big: []}
-    results = set()
-    for i in range(passes):
-        for cpus in (big, small):  # adjacent passes share the load window
-            w = workers[cpus]
-            w.stdin.write("RUN\n")
-            w.stdin.flush()
-            line = w.stdout.readline()
-            _, sec, nc, npairs = line.split()
-            samples[cpus].append(float(sec))
-            results.add((int(nc), int(npairs)))
-            print(f"pass {i} local[{cpus}]: {sec}s", flush=True)
-    for w in workers.values():
-        w.stdin.close()
-        w.wait(timeout=120)
+    results: set[tuple[int, int]] = set()
+    n = None
+    t_start = time.monotonic()
+    try:
+        for cpus in (small, big):
+            logs[cpus] = open(LOG_DIR / f"worker_{cpus}.log", "w")
+            workers[cpus] = subprocess.Popen(
+                [sys.executable, "-u", "-c", code, str(cpus), corpus],
+                stdin=subprocess.PIPE,
+                stdout=subprocess.PIPE,
+                stderr=logs[cpus],
+                text=True,
+            )
+        for cpus, w in workers.items():
+            while True:
+                line = _read_line(w, cpus)
+                if line.startswith("READY"):
+                    n = int(line.split()[1])
+                    break
+            print(f"worker local[{cpus}] ready, n={n}", flush=True)
 
+        i = 0
+        probes: dict[int, list[float]] = {small: [], big: []}
+        while i < passes:
+            if i >= 1 and time.monotonic() - t_start > budget:
+                print(f"budget exhausted after {i} passes", flush=True)
+                break
+            # alternate in-pair order: under a PARTIAL cap the wide level
+            # suffers more, and multi-minute cap windows would otherwise
+            # correlate with whichever level always runs first
+            order = (big, small) if i % 2 == 0 else (small, big)
+            for cpus in order:  # adjacent passes share the load window
+                eff_cores = _cpu_probe(cpus)
+                probes[cpus].append(eff_cores)
+                w = workers[cpus]
+                w.stdin.write("RUN\n")
+                w.stdin.flush()
+                line = _read_line(w, cpus)
+                try:
+                    _, sec, nc, npairs = line.split()
+                except ValueError:
+                    raise RuntimeError(
+                        f"bad worker line from local[{cpus}]: {line!r}; "
+                        f"stderr tail:\n{_log_tail(cpus)}"
+                    )
+                samples[cpus].append(float(sec))
+                results.add((int(nc), int(npairs)))
+                print(
+                    f"pass {i} local[{cpus}]: {sec}s "
+                    f"(probe: {eff_cores}/{cpus} deliverable cores)",
+                    flush=True,
+                )
+            pe = (samples[small][-1] / samples[big][-1]) / (big / small)
+            print(f"pass {i} pairwise efficiency: {pe:.3f}", flush=True)
+            i += 1
+        for w in workers.values():
+            w.stdin.close()
+            w.wait(timeout=120)
+    finally:
+        for w in workers.values():
+            if w.poll() is None:
+                w.terminate()
+        for f in logs.values():
+            f.close()
+
+    if not samples[small] or not samples[big]:
+        print("no complete pairs collected — no artifact written", flush=True)
+        return 1
     assert len(results) == 1, f"nondeterminism across levels/passes: {results}"
-    t8, t32 = min(samples[small]), min(samples[big])
-    eff = (t8 / t32) / (big / small)
+    t_small, t_big = min(samples[small]), min(samples[big])
+    eff = (t_small / t_big) / (big / small)
+    # throttle classification: a pair where both legs ran >2x their level
+    # minimum is a capped-VM window and carries no scaling signal
+    n_pairs_done = min(len(samples[small]), len(samples[big]))
+    pair_eff = [
+        round((samples[small][j] / samples[big][j]) / (big / small), 3)
+        for j in range(n_pairs_done)
+    ]
+    throttled = [
+        samples[small][j] > 2 * t_small and samples[big][j] > 2 * t_big
+        for j in range(n_pairs_done)
+    ]
     nc, npairs = next(iter(results))
     out = {
         "metric": f"scaling_efficiency_{small}_to_{big}_cores",
         "value": round(eff, 3),
         "unit": "efficiency",
         "runs": {
-            str(small): {
-                "cpus": small,
+            str(c): {
+                "cpus": c,
                 "n_docs": n,
-                "wall_sec": t8,
-                "docs_per_sec": round(n / t8, 1),
+                "wall_sec": min(samples[c]),
+                "docs_per_sec": round(n / min(samples[c]), 1),
                 "n_clusters": nc,
                 "n_pairs": npairs,
-            },
-            str(big): {
-                "cpus": big,
-                "n_docs": n,
-                "wall_sec": t32,
-                "docs_per_sec": round(n / t32, 1),
-                "n_clusters": nc,
-                "n_pairs": npairs,
-            },
+            }
+            for c in (small, big)
         },
         "all_samples": {str(c): s for c, s in samples.items()},
+        "pairwise_efficiency": pair_eff,
+        "throttled_pairs": throttled,
+        "cpu_probe_effective_cores": {str(c): p for c, p in probes.items()},
         "note": f"sandbox stand-in for N->4N executors (north_rule): same "
         f"flagship dedup job, same input, two RESIDENT JVMs (local[{small}], "
         f"local[{big}]) alternating single passes so adjacent samples share "
         "the VM's bursty background load; per-level minimum = quiet-window "
-        f"throughput; efficiency=(T{small}/T{big})/{big // small}",
+        f"throughput; efficiency=(T{small}/T{big})/{big // small}; pairs "
+        "where both legs ran >2x their level minimum are flagged throttled "
+        "(VM caps total deliverable CPU -> ratio collapses, no signal)",
     }
-    Path(ROOT / "BENCH_SCALING.json").write_text(json.dumps(out, indent=2))
+    text = json.dumps(out, indent=2)
+    Path(ROOT / "BENCH_SCALING.json").write_text(text)
+    Path(ROOT / f"BENCH_SCALING_{small}v{big}.json").write_text(text)
     print(json.dumps(out))
     return 0
 
