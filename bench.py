@@ -109,10 +109,14 @@ def run_plaid(spark) -> dict:
     ).persist()
     corpus.count(), queries.count()
 
+    # nprobe=16/32 centroids + rerank=100: the fixture embeddings are
+    # unstructured (true top-1 sits at cosine ~0.3), so narrow probing
+    # collapses MRR — measured sweep: nprobe=4/t_cs=0.2/rerank=20 -> MRR
+    # 0.20; nprobe=16/t_cs=0/rerank=100 -> 0.56 at equal-or-lower wall
     cents = build_centroids(corpus, k=32, seed=42)
     t0 = time.perf_counter()
     res = plaid_topk(
-        corpus, queries, cents, k=10, nprobe=4, t_cs=0.2, rerank=20
+        corpus, queries, cents, k=10, nprobe=16, t_cs=0.0, rerank=100
     ).localCheckpoint(eager=True)
     wall = time.perf_counter() - t0
 

@@ -43,10 +43,18 @@ class DedupConfig:
 
     # --- skew / scale controls (north_rule: explicit skew handling) ---
     # Buckets larger than this are boilerplate-heavy hot keys; we cap the
-    # pairs they emit (reference analog: pivot caching <=k per node,
-    # lsh_forest.py:117-119, and balanced-split rejection,
-    # recursive_lsh_forest.py:108-122).
+    # docs entering pair generation (deterministic slice + drop ledger).
     max_bucket_docs: int = 4096
+    # Buckets with more than this many (kept) docs emit STAR pairs — the
+    # first `bucket_pivots` sorted ids become pivots, every other doc
+    # pairs with each pivot — instead of the full clique: O(k*n) pairs
+    # per bucket instead of O(n^2), and the verified star keeps the whole
+    # bucket CONNECTED so connected components still produces one cluster
+    # for a mega-cluster of near-identical docs (a clique truncation
+    # would orphan every doc past the cap). Reference analog: a node
+    # caches <=k pivots and every query compares against the pivots
+    # (lsh_forest.py:117-119) — pivot x member, not member x member.
+    bucket_pivots: int = 64
     # Adaptive prefix deepening (LSH-forest variable depth, F1): buckets
     # above this size get a longer prefix before pair generation.
     adaptive_max_bucket: int = 1024

@@ -286,8 +286,9 @@ def dedup_pipeline(
         return candidate_pairs(deps["bands"], cfg)
 
     def m_candidate_drops(spark, deps):
-        """Hot-bucket drop ledger: how many docs the max_bucket_docs cap
-        discarded, per bucket (empty list = no silent data loss)."""
+        """Hot-bucket cap ledger: docs the max_bucket_docs cap discarded
+        and member-member pairs the pivot star skipped, per bucket
+        (empty list = no silent data loss)."""
         from lsh_forest_for_multi_vector_retrieval_spark.operators.pairs import (
             bucket_drop_stats,
         )
@@ -295,12 +296,16 @@ def dedup_pipeline(
         rows = bucket_drop_stats(deps["bands"], cfg).collect()
         return {
             "dropped_docs_total": int(sum(r.dropped_docs for r in rows)),
+            "starred_pairs_skipped_total": int(
+                sum(r.starred_pairs_skipped for r in rows)
+            ),
             "capped_buckets": [
                 {
                     "band_id": r.band_id,
                     "band_hash": r.band_hash,
                     "bucket_n": r.bucket_n,
                     "dropped_docs": r.dropped_docs,
+                    "starred_pairs_skipped": r.starred_pairs_skipped,
                 }
                 for r in rows[:100]
             ],

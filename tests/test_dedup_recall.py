@@ -140,6 +140,34 @@ def test_idempotent_rerun(corpus):
     res2.unpersist()
 
 
+def test_mega_cluster_star_capping_keeps_cluster_whole(spark):
+    # A 300-doc near-identical mega-cluster (the "empty template page"
+    # shape at web scale). With bucket_pivots=16 the pair generator emits
+    # the pivot STAR for its mega-buckets: pair count must stay O(k*n)
+    # (not C(300,2)=44,850), and — the property a clique truncation
+    # violates — connected components must still put ALL 300 docs in ONE
+    # cluster, because every member verifies against a low-id pivot.
+    from dataclasses import replace
+
+    from lsh_forest_for_multi_vector_retrieval_spark.sources.pages import (
+        generate_pages,
+    )
+
+    corpus = generate_pages(
+        spark, n_clusters=1, cluster_size=300, n_singletons=50,
+        n_exact_dups=0, doc_len=200, max_mutation=0.01, seed=5,
+    ).select("doc_id", "text")
+    cfg = replace(CFG, bucket_pivots=16)
+    res = minhash_dedup(corpus, cfg)
+    n_pairs = res.verified.count()
+    assert n_pairs < 16 * 300 * 2, f"star bound exceeded: {n_pairs} pairs"
+    labels = {r.doc_id: r.cluster_id for r in res.clusters.collect()}
+    assert {labels[i] for i in range(300)} == {0}, "mega-cluster split"
+    # singletons untouched
+    assert all(labels[i] == i for i in range(300, 350))
+    res.unpersist()
+
+
 def test_ngram_exact_complete_with_hot_shingle(spark):
     # prefix filtering must stay LOSSLESS even when one boilerplate
     # shingle is shared by every document (the 100-TB skew hazard): the
