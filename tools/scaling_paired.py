@@ -148,11 +148,27 @@ def main() -> int:
     results: set[tuple[int, int]] = set()
     n = None
     t_start = time.monotonic()
+    # CPU-pin each worker JVM to exactly N cpus (disjoint sets): a bare
+    # local[N] JVM freeloads spare host cores for GC / shuffle-IO / Python
+    # UDF workers, overstating the NARROW level's throughput (an executor
+    # on a real cluster is cgroup-capped to its core budget, overhead
+    # threads included). Pinning makes the "N executors" stand-in faithful
+    # and isolates the two resident workers from each other.
+    pin_base = {small: 0, big: small}
+    use_taskset = (
+        os.environ.get("SPARK_GRAFT_SCALING_PIN", "1") == "1"
+        and subprocess.run(["which", "taskset"], capture_output=True).returncode == 0
+    )
     try:
         for cpus in (small, big):
             logs[cpus] = open(LOG_DIR / f"worker_{cpus}.log", "w")
+            prefix = (
+                ["taskset", "-c", f"{pin_base[cpus]}-{pin_base[cpus] + cpus - 1}"]
+                if use_taskset
+                else []
+            )
             workers[cpus] = subprocess.Popen(
-                [sys.executable, "-u", "-c", code, str(cpus), corpus],
+                prefix + [sys.executable, "-u", "-c", code, str(cpus), corpus],
                 stdin=subprocess.PIPE,
                 stdout=subprocess.PIPE,
                 stderr=logs[cpus],
@@ -247,6 +263,7 @@ def main() -> int:
         "pairwise_efficiency": pair_eff,
         "throttled_pairs": throttled,
         "cpu_probe_effective_cores": {str(c): p for c, p in probes.items()},
+        "cpu_pinned": use_taskset,
         "note": f"sandbox stand-in for N->4N executors (north_rule): same "
         f"flagship dedup job, same input, two RESIDENT JVMs (local[{small}], "
         f"local[{big}]) alternating single passes so adjacent samples share "
