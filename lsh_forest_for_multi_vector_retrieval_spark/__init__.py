@@ -23,5 +23,16 @@ pandas UDFs (signatures) — no per-row Python anywhere.
 from lsh_forest_for_multi_vector_retrieval_spark.config import DedupConfig
 from lsh_forest_for_multi_vector_retrieval_spark.session import get_spark
 
-__all__ = ["DedupConfig", "get_spark"]
+
+def minhash_dedup(*args, **kwargs):
+    """Convenience re-export of the flagship pipeline (lazy import keeps
+    ``import lsh_forest_for_multi_vector_retrieval_spark`` light)."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.dedup import (
+        minhash_dedup as _impl,
+    )
+
+    return _impl(*args, **kwargs)
+
+
+__all__ = ["DedupConfig", "get_spark", "minhash_dedup"]
 __version__ = "0.1.0"

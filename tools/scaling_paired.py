@@ -58,7 +58,16 @@ cpus = int(sys.argv[1])
 corpus = sys.argv[2]
 spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=64,
                   driver_memory="40g",
-                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+                  extra_conf={{
+                      "spark.ui.showConsoleProgress": "false",
+                      # CPU-pinned narrow levels saturate their only core
+                      # for minutes; local mode runs driver+executor in one
+                      # JVM, so a starved heartbeat thread would otherwise
+                      # trip the 120 s default and kill the executor (a
+                      # real cluster hosts the driver elsewhere)
+                      "spark.executor.heartbeatInterval": "60s",
+                      "spark.network.timeout": "1200s",
+                  }})
 docs = spark.read.parquet(corpus)
 n = docs.count()
 
