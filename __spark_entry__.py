@@ -349,12 +349,20 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed (window=16) substring-dup pairs. Deterministic integer
     math given the input text, so the oracle is an expected-parquet
     fixture precomputed by an independent pure-Python path
-    (tools/make_expected_fixtures.py; valid for the driver's sf0.01
-    correctness runs, regenerated by the tool if testdata changes)."""
+    (tools/make_expected_fixtures.py; regenerated by the tool if testdata
+    changes)."""
     from lsh_forest_for_multi_vector_retrieval_spark.operators.substring import (
         substring_dup_pairs,
     )
 
+    # the expected-parquet oracle below is precomputed for sf0.01 ONLY;
+    # at any other sf_dir the fixture would produce false failures, so
+    # fail loudly instead (round-3 ADVICE). The operator itself is
+    # sf-agnostic — bench calls it directly at sf0.1.
+    assert "sf0.01" in sf_dir, (
+        f"substring_pairs fixture oracle is precomputed for sf0.01; got "
+        f"{sf_dir!r} — regenerate via tools/make_expected_fixtures.py"
+    )
     return substring_dup_pairs(_docs(spark, sf_dir), gram=32, window=16)
 
 
@@ -497,7 +505,7 @@ def q_forest_vote_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the (<=|Q|*k rows) result, then release the signature
     # cache — the old persist-and-return leaked it per call (round-2 #2)
     out = get_top_k(scores, k=5).localCheckpoint(eager=True)
-    sigs.unpersist()
+    sigs.unpersist(blocking=True)
     return out
 
 

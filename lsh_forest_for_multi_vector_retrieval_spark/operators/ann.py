@@ -159,8 +159,10 @@ def lsh_topk(
         # qsig/csig for the session lifetime, and 28 queries per driver
         # session accumulate leaked tables into executor-memory pressure
         out = out.localCheckpoint(eager=True)
-        qsig.unpersist()
-        csig.unpersist()
+        # blocking: async unpersist races in-flight stages and logs
+        # spurious accumulator errors (round-3 VERDICT #1)
+        qsig.unpersist(blocking=True)
+        csig.unpersist(blocking=True)
     return out
 
 

@@ -111,24 +111,35 @@ def fingerprint_drop_stats(
     gram: int = 32,
     window: int = 16,
     max_bucket_docs: int = 4096,
+    bucket_pivots: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """No-silent-caps ledger for ``substring_dup_pairs``: fingerprint
-    buckets larger than ``max_bucket_docs`` with the exact count of docs
-    the cap discards. (fp, bucket_n, dropped_docs)."""
+    """No-silent-caps ledger for ``substring_dup_pairs``: one row per
+    fingerprint bucket any cap touched — ``dropped_docs`` when the bucket
+    exceeded ``max_bucket_docs`` (those docs form no pairs from this
+    bucket), ``starred_pairs_skipped`` = C(kept - pivots, 2) member x
+    member comparisons the pivot star did not generate (connectivity is
+    preserved through the pivots). Mirrors ``pairs.bucket_drop_stats``."""
     fp = fingerprint_udf(gram, window)
     inv = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(fp(F.col(text_col))).alias("fp")
     )
+    kept = F.least(F.col("bucket_n"), F.lit(max_bucket_docs))
+    non_starred = F.greatest(kept - F.lit(bucket_pivots), F.lit(0))
     return (
         inv.groupBy("fp")
         .agg(F.countDistinct("doc_id").alias("bucket_n"))
-        .where(F.col("bucket_n") > max_bucket_docs)
+        .where(F.col("bucket_n") > bucket_pivots)
         .select(
             "fp",
             "bucket_n",
-            (F.col("bucket_n") - F.lit(max_bucket_docs)).alias("dropped_docs"),
+            F.greatest(
+                F.col("bucket_n") - F.lit(max_bucket_docs), F.lit(0)
+            ).alias("dropped_docs"),
+            (non_starred * (non_starred - 1) / 2)
+            .cast("long")
+            .alias("starred_pairs_skipped"),
         )
     )
 
@@ -138,6 +149,7 @@ def substring_dup_pairs(
     gram: int = 32,
     window: int = 16,
     max_bucket_docs: int = 4096,
+    bucket_pivots: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -145,9 +157,21 @@ def substring_dup_pairs(
     length >= gram (guaranteed found when >= gram + window - 1).
 
     Same physical shape as the MinHash path: fingerprint inverted index ->
-    bucket pair explosion (singletons dropped first, hot buckets capped)
-    -> exact gram-set intersection verify.
+    bucket pair explosion (singletons dropped first, hot buckets capped at
+    ``max_bucket_docs`` and PIVOT-STARRED above ``bucket_pivots``) ->
+    exact gram-set intersection verify. The star (round-3 VERDICT #2)
+    bounds a boilerplate-footer fingerprint shared by n docs at O(k*n)
+    candidate pairs instead of C(n,2) ~ n^2/2 — the one shape that made
+    this operator a 100x hazard on crawl corpora with shared footers.
+    Every skipped comparison is counted in ``fingerprint_drop_stats``;
+    pairs bridged only through non-pivot members may be missed, but any
+    doc sharing a fingerprint with the bucket still pairs with (and is
+    verified against) the pivots, so recall for "is doc X a substring-dup
+    of anything" is preserved.
     """
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.pairs import (
+        star_pair_structs,
+    )
     from lsh_forest_for_multi_vector_retrieval_spark.session import (
         ensure_min_partitions,
     )
@@ -162,18 +186,7 @@ def substring_dup_pairs(
         .where(F.size("ids") > 1)
         .withColumn("ids", F.slice("ids", 1, max_bucket_docs))
     )
-    n = F.size("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.slice(F.col("ids"), i + 1, n),
-                lambda y: F.struct(
-                    F.get(F.col("ids"), i - 1).alias("doc_a"), y.alias("doc_b")
-                ),
-            ),
-        )
-    )
+    pair_structs = star_pair_structs(F.col("ids"), bucket_pivots)
     cands = (
         grouped.select(F.explode(pair_structs).alias("p"))
         .select("p.doc_a", "p.doc_b")

@@ -17,6 +17,7 @@ stages, so the runner stays generic.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import re
 import time
@@ -96,8 +97,21 @@ class CheckpointIO:
                 )
             else:
                 self.active = "iceberg"
-        self.namespace = "ckpt_" + re.sub(
-            r"[^A-Za-z0-9_]", "_", Path(workdir).name
+        # namespace keys on the FULL workdir path, not just its leaf:
+        # two pipelines whose workdirs share a leaf name (pytest tmp_path/
+        # 'wd' is the canonical case) must not share catalog tables, or
+        # resume=True silently resumes from another run's checkpoints
+        # built over a different corpus/config (round-3 ADVICE). The
+        # parquet path keys on the full workdir already; the sha1 suffix
+        # gives the catalog namespace the same property.
+        path_tag = hashlib.sha1(
+            str(Path(workdir).resolve()).encode()
+        ).hexdigest()[:8]
+        self.namespace = (
+            "ckpt_"
+            + re.sub(r"[^A-Za-z0-9_]", "_", Path(workdir).name)
+            + "_"
+            + path_tag
         )
         if self.active == "iceberg":
             self.spark.sql(

@@ -111,8 +111,8 @@ class IncrementalDedup:
         _write(verified, self.pairs_path)
         _write(new_bands, self.bands_path)
         _write(sigs, self.sigs_path)
-        sigs.unpersist()
-        new_bands.unpersist()
+        sigs.unpersist(blocking=True)
+        new_bands.unpersist(blocking=True)
 
     # -- streaming wiring ----------------------------------------------------
     def start(self, spark: SparkSession, input_dir: str, schema: str | None = None):

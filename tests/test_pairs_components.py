@@ -149,3 +149,26 @@ def test_star_contraction_is_diameter_robust(spark):
     assert got.select("cluster_id").distinct().count() == 1
     assert got.agg(F.min("cluster_id")).first()[0] == 0
     assert got.where(F.col("cluster_id") != 0).count() == 0
+
+
+def test_bucket_drop_stats_clamps_negative_star_skips(spark):
+    """bucket_pivots > max_bucket_docs is a legal config (pure
+    clique-truncate arm); kept - pivots goes negative and must clamp to a
+    0 skip count, not square into a bogus positive (round-3 ADVICE)."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.pairs import (
+        bucket_drop_stats,
+    )
+
+    rows = [(0, 7, d) for d in range(30)]  # one 30-doc bucket
+    bands = spark.createDataFrame(
+        rows, "band_id int, band_hash long, doc_id long"
+    )
+    cfg = DedupConfig(max_bucket_docs=16, bucket_pivots=10**6)
+    got = bucket_drop_stats(bands, cfg).collect()
+    # bucket_n=30 <= bucket_pivots -> below the pivot filter entirely
+    assert got == []
+    cfg2 = DedupConfig(max_bucket_docs=16, bucket_pivots=20)
+    got2 = bucket_drop_stats(bands, cfg2).collect()
+    assert len(got2) == 1
+    assert got2[0].dropped_docs == 14
+    assert got2[0].starred_pairs_skipped == 0  # kept=16 < pivots=20 -> clamp

@@ -64,3 +64,53 @@ def test_substring_no_false_positives_on_distinct_corpus(spark):
     docs = [(i, _mk_text(rng, 300)) for i in range(30)]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     assert substring_dup_pairs(df, gram=32, window=16).count() == 0
+
+
+def test_substring_hot_bucket_pivot_star(spark):
+    """Boilerplate-footer stress (round-3 VERDICT #2): every doc shares one
+    >=47-char footer, so one fingerprint bucket holds all n docs. With
+    bucket_pivots=k the candidate set must be O(k*n) (star + pivot
+    clique), never C(n,2), while every doc still pairs with the pivots
+    (dedup recall for "is X a dup of anything" preserved)."""
+    rng = np.random.RandomState(11)
+    footer = _mk_text(rng, 60)  # > gram + window - 1 = 47
+    n = 40
+    docs = [(i, _mk_text(rng, 150) + footer) for i in range(n)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    k = 4
+    got = substring_dup_pairs(df, gram=32, window=16, bucket_pivots=k)
+    pairs = {(r.doc_a, r.doc_b) for r in got.collect()}
+    # every pair involves a pivot (one of the k smallest doc_ids)
+    assert all(a < k for a, _ in pairs)
+    # every non-pivot doc is connected to every pivot (star complete)
+    for pivot in range(k):
+        for other in range(pivot + 1, n):
+            assert (pivot, other) in pairs
+    # star + pivot clique size exactly: k*(n-k) + C(k,2)
+    assert len(pairs) == k * (n - k) + k * (k - 1) // 2
+
+
+def test_substring_drop_stats_ledger(spark):
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.substring import (
+        fingerprint_drop_stats,
+    )
+
+    rng = np.random.RandomState(13)
+    footer = _mk_text(rng, 60)
+    n = 20
+    docs = [(i, _mk_text(rng, 120) + footer) for i in range(n)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    led = fingerprint_drop_stats(
+        df, gram=32, window=16, max_bucket_docs=16, bucket_pivots=4
+    ).collect()
+    assert led, "hot bucket must appear in the ledger"
+    hot = max(led, key=lambda r: r.bucket_n)
+    assert hot.bucket_n == n
+    assert hot.dropped_docs == n - 16  # cap discards 4 docs entirely
+    # kept=16, pivots=4 -> C(12,2)=66 member-x-member pairs skipped
+    assert hot.starred_pairs_skipped == 66
+    # clamp: pivot budget above the cap must not go negative (ADVICE r3)
+    led2 = fingerprint_drop_stats(
+        df, gram=32, window=16, max_bucket_docs=8, bucket_pivots=10**6
+    ).collect()
+    assert all(r.starred_pairs_skipped == 0 for r in led2)
