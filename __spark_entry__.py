@@ -339,10 +339,24 @@ def q_band_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-10 for the first 20 vectors. Deterministic end
+    to end (seeded hyperplanes, integer chunk blocking, cosine rounded to
+    6dp BEFORE ranking, ties by n_id), so the oracle is an expected-parquet
+    fixture from an independent pure-Python path (round-3 VERDICT #4)."""
+    assert "sf0.01" in sf_dir, (
+        f"lsh_ann_topk fixture oracle is precomputed for sf0.01; got "
+        f"{sf_dir!r} — regenerate via tools/make_expected_fixtures.py"
+    )
     emb = _read(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 20)
     # ensure_k: ascend fallback guarantees exactly k rows per query
-    return lsh_topk(emb, qs, k=10, dim=64, bits=64, n_chunks=16, ensure_k=True)
+    out = lsh_topk(
+        emb, qs, k=10, dim=64, bits=64, n_chunks=16, ensure_k=True,
+        round_digits=6,
+    )
+    return out.select(
+        "q_id", "n_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
 
 
 def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,19 +508,61 @@ def q_media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_forest_vote_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    sigs = with_signatures(docs.select("doc_id", "text"), CFG).select(
+def forest_vote_pipeline(
+    spark: SparkSession, sf_dir: str, cfg: DedupConfig, k: int = 5
+) -> DataFrame:
+    """Depth-weighted forest voting with planted truth: queries are
+    TRUNCATED mirrors of every 31st doc (last ~25 chars dropped, ids
+    shifted by 1e6), corpus is the original table — every query matches
+    its original at deep prefixes and that doc's near-dup family at
+    shallower ones, exercising depth weights and per-tree normalization,
+    not just exact-match joins (the old doc_id<20 split produced a single
+    surviving row). Scores are rounded to 6dp BEFORE ranking (ties by
+    doc_id)."""
+    return forest_vote_pipeline_from(
+        _docs(spark, sf_dir).select("doc_id", "text"), cfg, k=k
+    )
+
+
+def forest_vote_pipeline_from(
+    d: DataFrame, cfg: DedupConfig, k: int = 5
+) -> DataFrame:
+    """``forest_vote_pipeline`` over an already-loaded (doc_id, text)
+    DataFrame — lets tests drive the identical pipeline across input
+    repartitionings (determinism audit)."""
+    d = d.select("doc_id", "text")
+    mirrors = d.where(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.substring(
+            F.col("text"), 1, F.greatest(F.length("text") - 25, F.lit(40))
+        ).alias("text"),
+    )
+    corpus_sigs = with_signatures(d, cfg).select(
         "doc_id", "shingles", "sig"
     ).persist()
-    queries_side = sigs.where(F.col("doc_id") < 20)
-    corpus_side = sigs.where(F.col("doc_id") >= 20)
-    scores = forest_vote_scores(corpus_side, queries_side, CFG)
-    # materialize the (<=|Q|*k rows) result, then release the signature
-    # cache — the old persist-and-return leaked it per call (round-2 #2)
-    out = get_top_k(scores, k=5).localCheckpoint(eager=True)
-    sigs.unpersist(blocking=True)
+    query_sigs = with_signatures(mirrors, cfg).select("doc_id", "shingles", "sig")
+    scores = forest_vote_scores(corpus_sigs, query_sigs, cfg)
+    out = get_top_k(scores.withColumn("score", F.round("score", 6)), k=k)
+    out = out.select(
+        "query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank")
+    ).localCheckpoint(eager=True)
+    # materialized above; release the signature cache (blocking — async
+    # unpersist races in-flight stages, round-3 VERDICT #1)
+    corpus_sigs.unpersist(blocking=True)
     return out
+
+
+def q_forest_vote_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forest-vote top-5 over the mirror-query corpus. Portable hash
+    family + 6dp pre-rank rounding make it deterministic (stability across
+    input repartitionings is pytest-gated), so the oracle is an
+    expected-parquet fixture from an independent pure-Python path
+    (round-3 VERDICT #6; tools/make_expected_fixtures.py)."""
+    assert "sf0.01" in sf_dir, (
+        f"forest_vote_topk fixture oracle is precomputed for sf0.01; got "
+        f"{sf_dir!r} — regenerate via tools/make_expected_fixtures.py"
+    )
+    return forest_vote_pipeline(spark, sf_dir, PORTABLE_CFG, k=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -534,14 +590,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_pairs_exact": q_substring_pairs_exact,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "image_channel_stats": q_image_channel_stats,
-        # expected-parquet oracles (deterministic integer math; fixture
-        # precomputed by an independent brute-force path, see oracle_sql)
+        # expected-parquet oracles (deterministic math; fixture precomputed
+        # by an independent brute-force path, see oracle_sql)
         "media_near_dups": q_media_near_dups,
         "substring_pairs": q_substring_pairs,
-        # rows-only (genuinely approximate — pytest recall gates instead)
-        "plaid_topk": q_plaid_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
         "forest_vote_topk": q_forest_vote_topk,
+        # rows-only (genuinely approximate — pytest recall gates instead)
+        "plaid_topk": q_plaid_topk,
         "embedding_near_dups": q_embedding_near_dups,
     }
 
@@ -914,5 +970,13 @@ def oracle_sql() -> dict[str, str]:
         "substring_pairs": """
             SELECT doc_a, doc_b, shared_grams
             FROM read_parquet('/root/repo/fixtures/substring_pairs_sf0.01.parquet')
+        """,
+        "lsh_ann_topk": """
+            SELECT q_id, n_id, cosine, rank
+            FROM read_parquet('/root/repo/fixtures/lsh_ann_topk_sf0.01.parquet')
+        """,
+        "forest_vote_topk": """
+            SELECT query_id, doc_id, score, rank
+            FROM read_parquet('/root/repo/fixtures/forest_vote_topk_sf0.01.parquet')
         """,
     }

@@ -191,8 +191,25 @@ def run_headline() -> dict:
         lambda: em.q_top_nations_by_revenue(spark, SF_DIR).count(),
     )
     timed("customer_top_orders", lambda: em.q_customer_top_orders(spark, SF_DIR).count())
-    timed("lsh_ann_topk", lambda: em.q_lsh_ann_topk(spark, SF_DIR).count())
-    timed("forest_vote_topk", lambda: em.q_forest_vote_topk(spark, SF_DIR).count())
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.ann import lsh_topk
+
+    def ann():
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        qs = emb.where(F.col("vec_id") < 20)
+        return lsh_topk(
+            emb, qs, k=10, dim=64, bits=64, n_chunks=16, ensure_k=True,
+            round_digits=6,
+        ).count()
+
+    timed("lsh_ann_topk", ann)
+    # production hash family at SF_DIR (the sf0.01-pinned fixture assert
+    # lives in the driver query, not the operator)
+    from lsh_forest_for_multi_vector_retrieval_spark.config import DedupConfig as _DC
+
+    timed(
+        "forest_vote_topk",
+        lambda: em.forest_vote_pipeline(spark, SF_DIR, _DC(), k=5).count(),
+    )
 
     plaid = run_plaid(spark)
     timings["plaid_topk"] = plaid["plaid_sec"]

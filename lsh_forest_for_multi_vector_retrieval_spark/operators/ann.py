@@ -69,8 +69,14 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ensure_k: bool = False,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed ANN: exact rerank only inside signature-chunk blocks.
+
+    ``round_digits``: round the cosine BEFORE ranking (ties then broken by
+    ``n_id``), making the full output deterministic and expected-parquet
+    fixture-able (round-3 VERDICT #4) — all other steps are integer math
+    on seeded signatures.
 
     Banding theory: recall = 1-(1-p^r)^b with r = bits/n_chunks sign-bits
     per block, b = n_chunks blocks, p = 1 - theta/pi. The default
@@ -148,9 +154,10 @@ def lsh_topk(
             .where(F.col("q_id") != F.col("n_id"))
         )
         cand = cand.unionByName(root).dropDuplicates(["q_id", "n_id"])
-    scored = cand.select(
-        "q_id", "n_id", cosine_col(F.col("q_vec"), F.col("n_vec")).alias("cosine")
-    )
+    cos = cosine_col(F.col("q_vec"), F.col("n_vec"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = cand.select("q_id", "n_id", cos.alias("cosine"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     out = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
     if ensure_k:

@@ -23,6 +23,7 @@ sys.path.insert(0, str(ROOT / "tools"))
 
 from make_expected_fixtures import (  # noqa: E402
     FIXTURES,
+    expected_lsh_ann_topk,
     expected_media_near_dups,
     expected_substring_pairs,
 )
@@ -73,13 +74,86 @@ def test_substring_pairs_matches_pure_python_expectation(spark, substring_expect
     )
 
 
-def test_committed_fixtures_are_current(media_expected, substring_expected):
-    for name, exp in (
-        ("media_near_dups.parquet", media_expected),
-        ("substring_pairs_sf0.01.parquet", substring_expected),
+@pytest.fixture(scope="module")
+def ann_expected():
+    return expected_lsh_ann_topk(SF001)
+
+
+def test_lsh_ann_topk_matches_pure_python_expectation(spark, ann_expected):
+    """Signatures, chunk blocking, the ensure_k ascend/root-fallback, 6dp
+    ranking and n_id tie-break — replicated as plain Python set algebra +
+    left-fold cosines — must agree with the distributed plumbing
+    bit-for-bit (round-3 VERDICT #4)."""
+    import __spark_entry__ as em
+
+    got = (
+        em.q_lsh_ann_topk(spark, SF001)
+        .toPandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = ann_expected.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.fixture(scope="module")
+def fv_expected():
+    from make_expected_fixtures import expected_forest_vote_topk
+
+    return expected_forest_vote_topk(SF001)
+
+
+def test_forest_vote_topk_matches_pure_python_expectation(spark, fv_expected):
+    """The prefix-node/cap/join/window plumbing vs a dict-arithmetic
+    replication of the reference scoring chain (round-3 VERDICT #6)."""
+    import __spark_entry__ as em
+
+    got = (
+        em.q_forest_vote_topk(spark, SF001)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = fv_expected.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_forest_vote_topk_stable_across_repartitionings(spark):
+    """Determinism audit (round-3 VERDICT #6): the 6dp-rounded top-k must
+    not depend on the physical partitioning of the input (cross-partition
+    float-sum order is the only nondeterminism candidate; 6dp absorbs it
+    on this corpus — this is the evidence the fixture oracle rests on)."""
+    import __spark_entry__ as em
+    from lsh_forest_for_multi_vector_retrieval_spark.config import DedupConfig
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    outs = []
+    for parts in (1, 3, 17, 32):
+        d = docs.repartition(parts) if parts > 1 else docs.coalesce(1)
+        # run the same pipeline over a re-laid-out copy via temp view swap
+        out = em.forest_vote_pipeline_from(
+            d, DedupConfig(hash_family="md5_60"), k=5
+        )
+        outs.append(
+            out.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+    for other in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], other)
+
+
+def test_committed_fixtures_are_current(
+    media_expected, substring_expected, ann_expected, fv_expected
+):
+    for name, exp, keys in (
+        ("media_near_dups.parquet", media_expected, ["doc_a", "doc_b"]),
+        ("substring_pairs_sf0.01.parquet", substring_expected, ["doc_a", "doc_b"]),
+        ("lsh_ann_topk_sf0.01.parquet", ann_expected, ["q_id", "rank"]),
+        ("forest_vote_topk_sf0.01.parquet", fv_expected, ["query_id", "rank"]),
     ):
         path = FIXTURES / name
         assert path.exists(), f"missing fixture {path} — run tools/make_expected_fixtures.py"
         pd.testing.assert_frame_equal(
-            _sorted(pd.read_parquet(path)), _sorted(exp), check_dtype=False
+            pd.read_parquet(path).sort_values(keys).reset_index(drop=True),
+            exp.sort_values(keys).reset_index(drop=True),
+            check_dtype=False,
         )

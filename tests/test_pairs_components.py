@@ -172,3 +172,36 @@ def test_bucket_drop_stats_clamps_negative_star_skips(spark):
     assert len(got2) == 1
     assert got2[0].dropped_docs == 14
     assert got2[0].starred_pairs_skipped == 0  # kept=16 < pivots=20 -> clamp
+
+
+def test_default_adaptive_config_reserves_fresh_rows():
+    """Round-3 VERDICT #5: the DEFAULT adaptive path must never wrap a
+    deepened key into a neighbor band's base rows — signature_len extends
+    the signature with adaptive_reserved_rows fresh permutations."""
+    fixed = DedupConfig()
+    assert fixed.signature_len == fixed.num_perm == 128
+    ad = DedupConfig(use_adaptive_bands=True)
+    assert ad.signature_len == 160  # 16*8 base + 32 reserved
+    # explicit num_perm above base+reserved wins
+    big = DedupConfig(use_adaptive_bands=True, num_perm=192)
+    assert big.signature_len == 192
+
+
+def test_default_adaptive_bands_deepen_with_reserved_rows(spark):
+    """A mega-bucket corpus under the DEFAULT adaptive config must produce
+    deepened rows (depth > rows_per_band) from a 160-row signature."""
+    pages = generate_pages(
+        spark, n_clusters=1, cluster_size=80, n_singletons=40,
+        n_exact_dups=0, doc_len=150, max_mutation=0.01, seed=3,
+    ).select("doc_id", "text")
+    cfg = DedupConfig(use_adaptive_bands=True, adaptive_max_bucket=16)
+    sigs = with_signatures(pages, cfg).select("doc_id", "shingles", "sig")
+    assert sigs.select(F.size("sig")).first()[0] == 160
+    tbl = adaptive_band_table(sigs, cfg)
+    depths = {r.depth for r in tbl.select("depth").distinct().collect()}
+    assert cfg.rows_per_band in depths
+    assert any(d > cfg.rows_per_band for d in depths), "no deepening happened"
+    # every non-empty doc still covered by every band at exactly one depth
+    n_docs = sigs.where(F.size("shingles") > 0).count()
+    per_band = tbl.groupBy("band_id").agg(F.countDistinct("doc_id").alias("n"))
+    assert all(r.n == n_docs for r in per_band.collect())

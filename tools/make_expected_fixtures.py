@@ -145,6 +145,225 @@ def expected_substring_pairs(
     ).astype("int64")
 
 
+def _round_half_up(x: float, digits: int = 6) -> float:
+    """Spark's F.round semantics on DoubleType: BigDecimal.valueOf(d)
+    (= shortest decimal repr, same as Python's repr) then HALF_UP at
+    ``digits`` — NOT Python's banker's rounding."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def expected_lsh_ann_topk(
+    sf_dir: str = "/root/testdata/sf0.01",
+    n_queries: int = 20,
+    k: int = 10,
+    dim: int = 64,
+    bits: int = 64,
+    n_chunks: int = 16,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Pure-Python expectation for q_lsh_ann_topk(sf_dir) (round-3 VERDICT
+    #4): hyperplane signatures from the same seeded Gaussian draw, chunk
+    blocking + the ensure_k ascend (half-width retry, then root fallback)
+    as plain set algebra, cosines as the exact left-fold of doubles Spark's
+    ``aggregate`` computes, rounded HALF_UP to 6dp BEFORE ranking, ties by
+    n_id. Cross-checks the distributed posexplode/join/window plumbing."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ids = emb["vec_id"].astype("int64").to_numpy()
+    vecs = {int(i): np.asarray(v) for i, v in zip(ids, emb["embedding"])}
+    w = np.random.RandomState(seed).standard_normal((dim, bits))
+    bit_idx = np.arange(bits, dtype=np.uint64)
+    m = np.stack([np.asarray(vecs[int(i)], dtype=np.float64) for i in ids])
+    proj = m @ w
+    words = ((proj >= 0).astype(np.uint64) << bit_idx[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    sig = {int(i): int(s) for i, s in zip(ids, words)}
+    q_ids = sorted(int(i) for i in ids if i < n_queries)
+    all_ids = sorted(int(i) for i in ids)
+
+    def blocks(width: int) -> dict[tuple[int, int], list[int]]:
+        mask = (1 << width) - 1
+        out: dict[tuple[int, int], list[int]] = {}
+        for i in all_ids:
+            s = sig[i]
+            for c in range(bits // width):
+                out.setdefault((c, (s >> (c * width)) & mask), []).append(i)
+        return out
+
+    def join(qs: list[int], width: int) -> dict[int, set[int]]:
+        blk = blocks(width)
+        mask = (1 << width) - 1
+        cand: dict[int, set[int]] = {q: set() for q in qs}
+        for q in qs:
+            s = sig[q]
+            for c in range(bits // width):
+                for n in blk.get((c, (s >> (c * width)) & mask), ()):
+                    if n != q:
+                        cand[q].add(n)
+        return cand
+
+    width = bits // n_chunks
+    cand = join(q_ids, width)
+    # ensure_k ascend: half-width retry for under-served queries ...
+    short = [q for q in q_ids if len(cand[q]) < k]
+    if width > 1 and short:
+        deeper = join(short, max(width // 2, 1))
+        for q in short:
+            cand[q] |= deeper[q]
+    # ... then root fallback (exact scan) for any still short
+    for q in [q for q in q_ids if len(cand[q]) < k]:
+        cand[q] = {n for n in all_ids if n != q}
+
+    def cos6(a_id: int, b_id: int) -> float:
+        a, b = vecs[a_id], vecs[b_id]
+        dot = na = nb = 0.0
+        for x32, y32 in zip(a.tolist(), b.tolist()):
+            x, y = float(x32), float(y32)
+            dot += x * y
+            na += x * x
+            nb += y * y
+        denom = np.sqrt(na) * np.sqrt(nb)
+        return _round_half_up(dot / denom if denom > 0 else 0.0, 6)
+
+    rows = []
+    for q in q_ids:
+        scored = sorted(((-cos6(q, n), n) for n in cand[q]))
+        for rank, (neg, n) in enumerate(scored[:k], start=1):
+            rows.append(
+                {"q_id": q, "n_id": n, "cosine": -neg, "rank": rank}
+            )
+    df = pd.DataFrame(rows, columns=["q_id", "n_id", "cosine", "rank"])
+    return df.astype({"q_id": "int64", "n_id": "int64", "rank": "int64"})
+
+
+def _md5_60(s: str) -> int:
+    """Portable 60-bit shingle hash (functions/shingles.py hash64_col
+    md5_60 family): first 15 hex chars of md5."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _shingle_hashes(text: str | None, k: int = 5) -> np.ndarray:
+    """Distinct 5-gram shingle hashes, md5_60 family — the pure-Python
+    twin of with_shingles(..., hash_family='md5_60')."""
+    import re
+
+    if text is None:
+        return np.empty(0, dtype=np.int64)
+    toks = [t for t in re.split(r"\s+", text.lower()) if t]
+    if not toks:
+        return np.empty(0, dtype=np.int64)
+    if len(toks) >= k:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    else:
+        grams = [" ".join(toks)]
+    seen: set[int] = set()
+    out: list[int] = []
+    for g in grams:
+        h = _md5_60(g)
+        if h not in seen:
+            seen.add(h)
+            out.append(h)
+    return np.array(out, dtype=np.int64)
+
+
+def expected_forest_vote_topk(
+    sf_dir: str = "/root/testdata/sf0.01",
+    k: int = 5,
+    num_perm: int = 128,
+    num_bands: int = 16,
+    rows_per_band: int = 8,
+    seed: int = 42,
+    gamma: float = 0.8,
+    beta: float = 0.4,
+    max_node_docs: int = 512,
+) -> pd.DataFrame:
+    """Pure-Python expectation for q_forest_vote_topk (round-3 VERDICT
+    #6): MinHash signatures via the shared NumPy kernel over md5_60
+    shingles, trie nodes keyed by the RAW signature-prefix tuple (same
+    doc partition as Spark's xxhash64(prefix) w.h.p.), the reference's
+    scoring chain (depth weight x popularity IDF, per-tree max-norm, sum
+    over trees, per-query max-norm) as plain dict arithmetic, 6dp HALF_UP
+    rounding before ranking, ties by doc_id. Cross-checks the prefix-
+    explode / node-cap / join / window plumbing in forest_vote.py."""
+    import math
+
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.minhash import (
+        minhash_np,
+        minhash_params,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    a, b = minhash_params(num_perm, seed)
+    corpus: dict[int, np.ndarray] = {}
+    queries: dict[int, np.ndarray] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        doc_id = int(doc_id)
+        sig = minhash_np(_shingle_hashes(text), a, b)
+        corpus[doc_id] = sig
+        if doc_id % 31 == 0:  # the truncated-mirror query construction
+            if text is None:
+                q_text = None
+            else:
+                q_text = text[: max(len(text) - 25, 40)]
+            queries[doc_id + 1_000_000] = minhash_np(
+                _shingle_hashes(q_text), a, b
+            )
+    n_docs = float(len(corpus))
+
+    # per-node corpus doc counts, nodes keyed by raw prefix tuples
+    node_docs: dict[tuple, int] = {}
+    for sig in corpus.values():
+        for band in range(num_bands):
+            base = band * rows_per_band
+            for d in range(1, rows_per_band + 1):
+                key = (band, d, tuple(sig[base : base + d]))
+                node_docs[key] = node_docs.get(key, 0) + 1
+
+    rows = []
+    for qid in sorted(queries):
+        qsig = queries[qid]
+        # contrib[(band, doc)] = w(depth) * pop(node) at the DEEPEST
+        # shared cap-passing prefix (forest_vote_scores max-struct)
+        contribs: dict[int, dict[int, float]] = {}
+        for cid, csig in corpus.items():
+            for band in range(num_bands):
+                base = band * rows_per_band
+                best = None
+                for d in range(1, rows_per_band + 1):
+                    if qsig[base + d - 1] != csig[base + d - 1]:
+                        break
+                    nd = node_docs[(band, d, tuple(csig[base : base + d]))]
+                    if nd <= max_node_docs:
+                        best = (d, nd)
+                if best is not None:
+                    d, nd = best
+                    w = gamma**d
+                    pop = math.pow(math.log1p(n_docs / nd), beta)
+                    contribs.setdefault(band, {})[cid] = w * pop
+        raw: dict[int, float] = {}
+        for band, per_doc in contribs.items():
+            mx = max(per_doc.values())
+            for cid, c in per_doc.items():
+                raw[cid] = raw.get(cid, 0.0) + c / mx
+        if not raw:
+            continue
+        mx = max(raw.values())
+        scored = sorted(
+            ((-_round_half_up(v / mx, 6), cid) for cid, v in raw.items())
+        )
+        for rank, (neg, cid) in enumerate(scored[:k], start=1):
+            rows.append(
+                {"query_id": qid, "doc_id": cid, "score": -neg, "rank": rank}
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "doc_id", "score", "rank"])
+    return df.astype({"query_id": "int64", "doc_id": "int64", "rank": "int64"})
+
+
 def main() -> int:
     FIXTURES.mkdir(exist_ok=True)
     media = expected_media_near_dups()
@@ -153,6 +372,12 @@ def main() -> int:
     sub = expected_substring_pairs()
     sub.to_parquet(FIXTURES / "substring_pairs_sf0.01.parquet", index=False)
     print(f"substring_pairs (sf0.01): {len(sub)} pairs")
+    ann = expected_lsh_ann_topk()
+    ann.to_parquet(FIXTURES / "lsh_ann_topk_sf0.01.parquet", index=False)
+    print(f"lsh_ann_topk (sf0.01): {len(ann)} rows")
+    fv = expected_forest_vote_topk()
+    fv.to_parquet(FIXTURES / "forest_vote_topk_sf0.01.parquet", index=False)
+    print(f"forest_vote_topk (sf0.01): {len(fv)} rows")
     return 0
 
 
