@@ -38,6 +38,16 @@ from lsh_forest_for_multi_vector_retrieval_spark.operators.substring import (  #
 )
 
 
+CONCLUSION_TEMPLATE = (
+    "one shared footer across {n} docs yields {pairs} distinct star "
+    "candidates (single-bucket formula k(n-k)+C(k,2) = {formula}; the "
+    "footer winnows into ~2-3 fingerprint buckets whose stars union) "
+    "instead of C(n,2) = {clique}; {covered} footer docs stay connected "
+    "through the pivots and every skipped member-member comparison is "
+    "ledgered"
+)
+
+
 def make_corpus(spark, n_footer: int, n_singletons: int, seed: int):
     """n_footer docs sharing one 60-char footer + unrelated singletons.
     Driver-side deterministic build (strings are small)."""
@@ -52,10 +62,17 @@ def make_corpus(spark, n_footer: int, n_singletons: int, seed: int):
     return spark.createDataFrame(pd.DataFrame(rows)).repartition(32)
 
 
-def run_arm(docs, n_footer: int, bucket_pivots: int) -> dict:
+def run_arm(docs, n_footer: int, bucket_pivots: int, max_bucket_docs: int) -> dict:
+    """max_bucket_docs is raised above the group size in every arm so the
+    PIVOT STAR is the only cap under test — the two caps are layered:
+    bucket_pivots bounds the PAIR count (O(k*n)), max_bucket_docs bounds
+    the collect_set aggregation-buffer memory (default 4096 ~ 32 KB of
+    ids; a bucket beyond it is truncated and ledgered as dropped_docs).
+    """
     t0 = time.perf_counter()
     pairs = substring_dup_pairs(
-        docs, gram=32, window=16, bucket_pivots=bucket_pivots
+        docs, gram=32, window=16, bucket_pivots=bucket_pivots,
+        max_bucket_docs=max_bucket_docs,
     )
     n_pairs = pairs.count()
     # connectivity: every non-pivot footer doc must appear in >=1 pair
@@ -67,7 +84,8 @@ def run_arm(docs, n_footer: int, bucket_pivots: int) -> dict:
     )
     wall = time.perf_counter() - t0
     led = fingerprint_drop_stats(
-        docs, gram=32, window=16, bucket_pivots=bucket_pivots
+        docs, gram=32, window=16, bucket_pivots=bucket_pivots,
+        max_bucket_docs=max_bucket_docs,
     ).collect()
     skipped = max((r.starred_pairs_skipped for r in led), default=0)
     return {
@@ -91,15 +109,15 @@ def main() -> int:
 
     docs = make_corpus(spark, n_star, n_star // 10, seed=21).persist()
     docs.count()
-    star = run_arm(docs, n_star, bucket_pivots=k)
+    star = run_arm(docs, n_star, bucket_pivots=k, max_bucket_docs=2 * n_star)
     star["expected_star_pairs"] = k * (n_star - k) + k * (k - 1) // 2
     star["clique_pairs_avoided"] = n_star * (n_star - 1) // 2
     docs.unpersist(blocking=True)
 
     docs2 = make_corpus(spark, n_clique, n_clique // 10, seed=22).persist()
     docs2.count()
-    clique = run_arm(docs2, n_clique, bucket_pivots=10**6)
-    star_small = run_arm(docs2, n_clique, bucket_pivots=k)
+    clique = run_arm(docs2, n_clique, bucket_pivots=10**6, max_bucket_docs=2 * n_clique)
+    star_small = run_arm(docs2, n_clique, bucket_pivots=k, max_bucket_docs=2 * n_clique)
     docs2.unpersist(blocking=True)
 
     out = {
@@ -107,14 +125,11 @@ def main() -> int:
         "star_20k": {"n_footer_docs": n_star, **star},
         "clique_contrast_2k": {"n_footer_docs": n_clique, **clique},
         "star_contrast_2k": {"n_footer_docs": n_clique, **star_small},
-        "conclusion": (
-            f"one shared footer across {n_star:,} docs yields "
-            f"{star['candidate_pairs']:,} star candidates (formula "
-            f"k(n-k)+C(k,2) = {star['expected_star_pairs']:,}) instead of "
-            f"C(n,2) = {star['clique_pairs_avoided']:,}; all "
-            f"{star['footer_docs_covered']:,} footer docs stay connected "
-            "through the pivots and every skipped member-member "
-            "comparison is ledgered"
+        "conclusion": CONCLUSION_TEMPLATE.format(
+            n=f"{n_star:,}", pairs=f"{star['candidate_pairs']:,}",
+            formula=f"{star['expected_star_pairs']:,}",
+            clique=f"{star['clique_pairs_avoided']:,}",
+            covered=f"{star['footer_docs_covered']:,}",
         ),
     }
     Path(ROOT / "SUBSTRING_STRESS.json").write_text(json.dumps(out, indent=2))
