@@ -155,11 +155,13 @@ def media_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     The (media_id, ahash) table feeds both sides of the self-join;
     localCheckpoint (16 bytes/image, ContextCleaner-released) instead of
     persist so repeated calls in one session don't accumulate cached
-    tables (round-2 ADVICE)."""
+    tables (round-2 ADVICE). eager=True: a lazy checkpoint feeding both
+    sides of a self-join races AQE stage materialization (benign
+    "non-existent accumulator" ERROR flood — see ngram_jaccard_pairs_exact)."""
     sigs = (
         with_image_features(media)
         .select("media_id", "ahash")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
