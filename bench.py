@@ -163,6 +163,37 @@ def run_plaid(spark) -> dict:
     }
 
 
+def _delivery_probe(n_procs: int) -> float:
+    """Deliverable-CPU probe (summed, long-quantum — same design as
+    tools/scaling_paired.py): how many of ``n_procs`` cores the
+    hypervisor is actually delivering right now.  Recorded in the bench
+    artifact so a throttled-window sample is self-describing instead of
+    reading as an engine regression (round-3 VERDICT "What's wrong" #1:
+    the committed BENCH_r03.json was a throttle-window sample and could
+    only be diagnosed by out-of-band reruns)."""
+    import multiprocessing as mp
+
+    def spin(reps: int = 30_000_000) -> float:
+        t0 = time.perf_counter()
+        x = 1.0
+        for _ in range(reps):
+            x = (x * 1.000001) % 97.0
+        return time.perf_counter() - t0
+
+    base = min(spin(), spin())  # min-of-2 single-core baseline
+    with mp.Pool(n_procs) as pool:
+        times = pool.map(_spin_worker, [30_000_000] * n_procs)
+    return round(sum(base / t for t in times), 2)
+
+
+def _spin_worker(reps: int) -> float:
+    t0 = time.perf_counter()
+    x = 1.0
+    for _ in range(reps):
+        x = (x * 1.000001) % 97.0
+    return time.perf_counter() - t0
+
+
 def run_headline() -> dict:
     import __spark_entry__ as em
     from pyspark.sql import functions as F
@@ -242,6 +273,11 @@ def run_headline() -> dict:
         "plaid_qps": plaid["plaid_qps"],
         "plaid_mrr10_vs_exact_top1": plaid["plaid_mrr10_vs_exact_top1"],
         "cpus": CPUS,
+        # measured AFTER the suite: how many of the requested cores the
+        # hypervisor was delivering around this sample (BASELINE.md
+        # "substrate variability" — quiet windows read ~0.85-1.0x, capped
+        # windows a fraction of that; a low value here flags the sample)
+        "cpu_delivery_probe": _delivery_probe(CPUS),
     }
     spark.stop()
     return out
