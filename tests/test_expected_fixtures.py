@@ -23,6 +23,7 @@ sys.path.insert(0, str(ROOT / "tools"))
 
 from make_expected_fixtures import (  # noqa: E402
     FIXTURES,
+    expected_embedding_near_dups,
     expected_lsh_ann_topk,
     expected_media_near_dups,
     expected_substring_pairs,
@@ -141,14 +142,36 @@ def test_forest_vote_topk_stable_across_repartitionings(spark):
         pd.testing.assert_frame_equal(outs[0], other)
 
 
+@pytest.fixture(scope="module")
+def near_dup_expected():
+    return expected_embedding_near_dups(SF001)
+
+
+def test_embedding_near_dups_matches_pure_python_expectation(
+    spark, near_dup_expected
+):
+    """Seeded hyperplane sigs, chunk-collision blocking, raw-double
+    threshold then 6dp rounding — replicated as plain set algebra +
+    left-fold cosines — must agree with the distributed
+    posexplode/self-join/dropDuplicates plumbing bit-for-bit."""
+    import __spark_entry__ as em
+
+    got = _sorted(em.q_embedding_near_dups(spark, SF001).toPandas())
+    pd.testing.assert_frame_equal(
+        got, _sorted(near_dup_expected), check_dtype=False
+    )
+
+
 def test_committed_fixtures_are_current(
-    media_expected, substring_expected, ann_expected, fv_expected
+    media_expected, substring_expected, ann_expected, fv_expected,
+    near_dup_expected,
 ):
     for name, exp, keys in (
         ("media_near_dups.parquet", media_expected, ["doc_a", "doc_b"]),
         ("substring_pairs_sf0.01.parquet", substring_expected, ["doc_a", "doc_b"]),
         ("lsh_ann_topk_sf0.01.parquet", ann_expected, ["q_id", "rank"]),
         ("forest_vote_topk_sf0.01.parquet", fv_expected, ["query_id", "rank"]),
+        ("embedding_near_dups_sf0.01.parquet", near_dup_expected, ["doc_a", "doc_b"]),
     ):
         path = FIXTURES / name
         assert path.exists(), f"missing fixture {path} — run tools/make_expected_fixtures.py"

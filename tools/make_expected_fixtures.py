@@ -239,6 +239,68 @@ def expected_lsh_ann_topk(
     return df.astype({"q_id": "int64", "n_id": "int64", "rank": "int64"})
 
 
+def expected_embedding_near_dups(
+    sf_dir: str = "/root/testdata/sf0.01",
+    min_cosine: float = 0.45,
+    dim: int = 64,
+    bits: int = 64,
+    n_chunks: int = 16,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Pure-Python expectation for q_embedding_near_dups(sf_dir) (round-3
+    VERDICT "what's missing" family, same shape as lsh_ann_topk): seeded
+    hyperplane signatures, chunk-collision blocking as set algebra over
+    integer chunk values, exact left-fold cosine verify, threshold on the
+    RAW double (matching the operator's ``where`` before any rounding),
+    then HALF_UP 6dp for the reported column. Cross-checks the distributed
+    posexplode/self-join/dropDuplicates plumbing in
+    operators/ann.py ``embedding_near_dup_pairs``."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ids = emb["vec_id"].astype("int64").to_numpy()
+    vecs = {int(i): np.asarray(v) for i, v in zip(ids, emb["embedding"])}
+    w = np.random.RandomState(seed).standard_normal((dim, bits))
+    bit_idx = np.arange(bits, dtype=np.uint64)
+    m = np.stack([np.asarray(vecs[int(i)], dtype=np.float64) for i in ids])
+    proj = m @ w
+    words = ((proj >= 0).astype(np.uint64) << bit_idx[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    sig = {int(i): int(s) for i, s in zip(ids, words)}
+    width = bits // n_chunks
+    mask = (1 << width) - 1
+    blocks: dict[tuple[int, int], list[int]] = {}
+    for i in sorted(sig):
+        s = sig[i]
+        for c in range(n_chunks):
+            blocks.setdefault((c, (s >> (c * width)) & mask), []).append(i)
+    cand: set[tuple[int, int]] = set()
+    for members in blocks.values():
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                cand.add((members[ai], members[bi]))
+
+    def cos_raw(a_id: int, b_id: int) -> float:
+        a, b = vecs[a_id], vecs[b_id]
+        dot = na = nb = 0.0
+        for x32, y32 in zip(a.tolist(), b.tolist()):
+            x, y = float(x32), float(y32)
+            dot += x * y
+            na += x * x
+            nb += y * y
+        denom = np.sqrt(na) * np.sqrt(nb)
+        return dot / denom if denom > 0 else 0.0
+
+    rows = []
+    for a_id, b_id in sorted(cand):
+        c = cos_raw(a_id, b_id)
+        if c >= min_cosine:
+            rows.append(
+                {"doc_a": a_id, "doc_b": b_id, "cosine": _round_half_up(c, 6)}
+            )
+    df = pd.DataFrame(rows, columns=["doc_a", "doc_b", "cosine"])
+    return df.astype({"doc_a": "int64", "doc_b": "int64", "cosine": "float64"})
+
+
 def _md5_60(s: str) -> int:
     """Portable 60-bit shingle hash (functions/shingles.py hash64_col
     md5_60 family): first 15 hex chars of md5."""
@@ -378,6 +440,9 @@ def main() -> int:
     fv = expected_forest_vote_topk()
     fv.to_parquet(FIXTURES / "forest_vote_topk_sf0.01.parquet", index=False)
     print(f"forest_vote_topk (sf0.01): {len(fv)} rows")
+    nd = expected_embedding_near_dups()
+    nd.to_parquet(FIXTURES / "embedding_near_dups_sf0.01.parquet", index=False)
+    print(f"embedding_near_dups (sf0.01): {len(nd)} pairs")
     return 0
 
 
