@@ -121,3 +121,54 @@ def test_udf_deterministic_across_partitionings(spark, shingle_rows):
     r1 = {r.doc_id: tuple(r.sig) for r in df1.select("doc_id", mh("shingles").alias("sig")).collect()}
     r8 = {r.doc_id: tuple(r.sig) for r in df8.select("doc_id", mh("shingles").alias("sig")).collect()}
     assert r1 == r8
+
+
+def test_ngram_shingles_match_expression_form(spark):
+    """The NGram-based gram builder (compiled Scala sliding window, the
+    production path since round 4) must emit byte-identical shingles to
+    the pure-Column-expression form it replaced, for BOTH hash families,
+    including the degenerate rows: null text, empty, whitespace-only,
+    fewer-than-k tokens (whole-doc single shingle), exactly-k tokens."""
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.shingles import (
+        shingle_hashes_col,
+        shingle_strings_col,
+        with_shingle_strings,
+        with_shingles,
+        with_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "   "),
+            (4, "one two"),
+            (5, "a b c d e"),
+            (6, "a b c d e f"),
+            (7, "the quick   brown fox jumps over the lazy dog again and again"),
+            (8, "Mixed CASE Tokens split OVER  whitespace runs\tand tabs here"),
+        ],
+        "doc_id long, text string",
+    )
+    for fam in ("xxhash64", "md5_60"):
+        new = with_shingles(docs, k=5, hash_family=fam).select("doc_id", "shingles")
+        t = with_tokens(docs)
+        old = t.withColumn(
+            "shingles",
+            F.when(
+                F.col("text").isNull() | (F.size(F.col("toks")) == 0),
+                F.array().cast("array<bigint>"),
+            ).otherwise(shingle_hashes_col(F.col("toks"), 5, fam)),
+        ).select("doc_id", "shingles")
+        assert new.exceptAll(old).count() == 0 and old.exceptAll(new).count() == 0, fam
+
+    new_s = with_shingle_strings(docs, k=5).select("doc_id", "shingle_strs")
+    t = with_tokens(docs)
+    old_s = t.withColumn(
+        "shingle_strs",
+        F.when(
+            F.col("text").isNull() | (F.size(F.col("toks")) == 0),
+            F.array().cast("array<string>"),
+        ).otherwise(shingle_strings_col(F.col("toks"), 5)),
+    ).select("doc_id", "shingle_strs")
+    assert new_s.exceptAll(old_s).count() == 0 and old_s.exceptAll(new_s).count() == 0
