@@ -56,6 +56,95 @@ def build_centroids(
     )
 
 
+def train_codebook(
+    sample,
+    k: int,
+    iters: int = 20,
+    normalize: bool = True,
+    round_digits: int | None = 6,
+) -> list[list[float]]:
+    """Driver-side Lloyd k-means over a BOUNDED sample — the deterministic
+    scalar kernel shared by :func:`build_centroids_deterministic` and the
+    expected-parquet fixture generator (tools/make_expected_fixtures.py).
+
+    Determinism contract (everything float-order-sensitive is pinned):
+    init = the first ``k`` distinct rows in sample order; assignment ties
+    go to the lowest centroid id (``np.argmin`` first-index); empty
+    clusters keep their previous centroid; a FIXED iteration count (no
+    tolerance early-exit, which would be float-order sensitive); distances
+    and means use NumPy ufunc reductions only (single-threaded, pairwise —
+    no BLAS GEMM, whose reduction order varies with thread count).
+    Hand-value-tested in tests/test_plaid.py."""
+    sample = np.asarray(sample, dtype=np.float64)
+    seen: set = set()
+    init: list = []
+    for row in sample:
+        t = tuple(row.tolist())
+        if t not in seen:
+            seen.add(t)
+            init.append(row)
+            if len(init) == k:
+                break
+    cents = np.stack(init)  # k_eff x d; k_eff < k only on tiny inputs
+    for _ in range(iters):
+        d2 = np.empty((len(sample), len(cents)), dtype=np.float64)
+        for c in range(len(cents)):
+            diff = sample - cents[c]
+            d2[:, c] = (diff * diff).sum(axis=1)
+        assign = np.argmin(d2, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    out: list[list[float]] = []
+    for c in cents:
+        if normalize:
+            n = float(np.sqrt((c * c).sum()))
+            if n > 0:
+                c = c / n
+        vals = [float(x) for x in c]
+        if round_digits is not None:
+            vals = [round(v, round_digits) for v in vals]
+        out.append(vals)
+    return out
+
+
+def build_centroids_deterministic(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 20,
+    sample_limit: int = 100_000,
+    vec_col: str = "embedding",
+    id_col: str | None = None,
+    normalize: bool = True,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """P2, deterministic twin of :func:`build_centroids`: train the
+    codebook on a bounded deterministic sample — the standard IVF
+    practice (FAISS/ScaNN train quantizers on ~1e5 vectors regardless of
+    corpus size), so this is the 100 TB shape, not a test shortcut. The
+    sample is the first ``sample_limit`` vectors ordered by ``id_col``
+    when given (reproducible by any engine) else by ``xxhash64`` of the
+    vector; Catalyst turns orderBy+limit into TakeOrderedAndProject, so
+    only ``sample_limit`` rows (~50 MB at d=64) ever reach the driver.
+    Lloyd runs in :func:`train_codebook` with every float-order choice
+    pinned; the returned (centroid_id, centroid) table is tiny and is
+    broadcast everywhere downstream."""
+    order = F.col(id_col) if id_col else F.xxhash64(F.col(vec_col))
+    rows = (
+        vectors.select(order.alias("_ord"), F.col(vec_col).cast("array<double>").alias("_v"))
+        .orderBy("_ord")
+        .limit(sample_limit)
+        .collect()
+    )
+    cents = train_codebook(
+        [r["_v"] for r in rows], k, iters, normalize, round_digits
+    )
+    return vectors.sparkSession.createDataFrame(
+        list(enumerate(cents)), "centroid_id int, centroid array<double>"
+    )
+
+
 def centroid_index(
     doc_vectors: DataFrame,
     centroids: DataFrame,
@@ -82,6 +171,31 @@ def centroid_index(
     )
 
 
+def _sum_tok_best(per_tok: DataFrame, round_digits: int | None) -> DataFrame:
+    """Sum ``tok_best`` over query tokens into ``score`` per (query, doc).
+
+    With ``round_digits`` set, the sum is an ordered left fold over the
+    q_idx-sorted token list (a handful of elements per group) instead of a
+    hash-aggregate ``sum`` — partial-aggregation merge order varies with
+    partitioning, and a bit-reproducible score is what lets the
+    expected-parquet oracle hash-match. Production path (None) keeps the
+    map-side-combining ``sum``."""
+    if round_digits is None:
+        return per_tok.groupBy("query_id", "doc_id").agg(
+            F.sum("tok_best").alias("score")
+        )
+    folded = per_tok.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("q_idx", "tok_best"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["tok_best"],
+        ).alias("_raw")
+    )
+    return folded.select(
+        "query_id", "doc_id", F.round("_raw", round_digits).alias("score")
+    )
+
+
 def plaid_topk(
     doc_vectors: DataFrame,
     query_vectors: DataFrame,
@@ -94,6 +208,7 @@ def plaid_topk(
     vec_col: str = "embedding",
     qvec_id_col: str = "vec_id",
     rerank: int | None = None,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """P3+P4: centroid-pruned candidate generation + centroid interaction
     score. Returns (query_id, doc_id, score, rank), rank<=k per query.
@@ -155,9 +270,7 @@ def plaid_topk(
         .groupBy("query_id", "doc_id", "q_idx")
         .agg(F.max("s").alias("tok_best"))
     )
-    scores = per_tok.groupBy("query_id", "doc_id").agg(
-        F.sum("tok_best").alias("score")
-    )
+    scores = _sum_tok_best(per_tok, round_digits)
     wr = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     ranked = scores.withColumn("rank", F.row_number().over(wr))
     if rerank is None:
@@ -175,9 +288,7 @@ def plaid_topk(
         .groupBy("query_id", "doc_id", "q_idx")
         .agg(F.max(dot_col(F.col("q_vec"), F.col("d_vec"))).alias("tok_best"))
     )
-    exact = exact_tok.groupBy("query_id", "doc_id").agg(
-        F.sum("tok_best").alias("score")
-    )
+    exact = _sum_tok_best(exact_tok, round_digits)
     return exact.withColumn("rank", F.row_number().over(wr)).where(
         F.col("rank") <= k
     )

@@ -162,9 +162,34 @@ def test_embedding_near_dups_matches_pure_python_expectation(
     )
 
 
+@pytest.fixture(scope="module")
+def plaid_expected():
+    from make_expected_fixtures import expected_plaid_topk
+
+    return expected_plaid_topk(SF001)
+
+
+def test_plaid_topk_matches_pure_python_expectation(spark, plaid_expected):
+    """The crossJoin/window/index-join/ordered-fold-score plumbing vs a
+    dict-and-loop emulation of PLAID candidate gen + exact rerank. The
+    codebook itself comes from the shared pinned Lloyd kernel (driver-side
+    NumPy in both paths; hand-value-tested in test_plaid.py) — what this
+    cross-checks is everything DISTRIBUTED downstream of it."""
+    import __spark_entry__ as em
+
+    got = (
+        em.q_plaid_topk(spark, SF001)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = plaid_expected.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_committed_fixtures_are_current(
     media_expected, substring_expected, ann_expected, fv_expected,
-    near_dup_expected,
+    near_dup_expected, plaid_expected,
 ):
     for name, exp, keys in (
         ("media_near_dups.parquet", media_expected, ["doc_a", "doc_b"]),
@@ -172,6 +197,7 @@ def test_committed_fixtures_are_current(
         ("lsh_ann_topk_sf0.01.parquet", ann_expected, ["q_id", "rank"]),
         ("forest_vote_topk_sf0.01.parquet", fv_expected, ["query_id", "rank"]),
         ("embedding_near_dups_sf0.01.parquet", near_dup_expected, ["doc_a", "doc_b"]),
+        ("plaid_topk_sf0.01.parquet", plaid_expected, ["query_id", "rank"]),
     ):
         path = FIXTURES / name
         assert path.exists(), f"missing fixture {path} — run tools/make_expected_fixtures.py"

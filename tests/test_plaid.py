@@ -125,3 +125,53 @@ def test_t_cs_pruning_shrinks_candidates(doc_vectors, query_vectors, centroids):
     top1 = {r.query_id: r.doc_id for r in tight_rr.where(F.col("rank") == 1).collect()}
     hits = sum(1 for q, d in top1.items() if q == d)
     assert hits >= 7
+
+
+def test_train_codebook_hand_values():
+    """Hand-computed Lloyd on two planted clusters: init = first 2 distinct
+    rows, one iteration moves each centroid to its cluster mean, the fixed
+    extra iterations are stationary, normalization divides by the L2 norm.
+    This is the shared scalar kernel the plaid_topk expected-parquet
+    fixture rests on (tools/make_expected_fixtures.py)."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.plaid import (
+        train_codebook,
+    )
+
+    sample = [
+        [1.0, 0.0],
+        [9.0, 0.0],   # second DISTINCT row -> second init centroid
+        [1.0, 0.0],   # duplicate of row 0: skipped at init, counted in mean
+        [3.0, 0.0],
+        [11.0, 0.0],
+    ]
+    # cluster A = {1, 1, 3} -> mean (5/3, 0); cluster B = {9, 11} -> (10, 0)
+    got = train_codebook(sample, k=2, iters=3, normalize=False, round_digits=None)
+    assert got == [[5.0 / 3.0, 0.0], [10.0, 0.0]]
+    # normalized + rounded: unit vectors along +x
+    got_n = train_codebook(sample, k=2, iters=3, normalize=True, round_digits=6)
+    assert got_n == [[1.0, 0.0], [1.0, 0.0]]
+    # determinism: byte-identical across calls
+    assert got == train_codebook(sample, k=2, iters=3, normalize=False, round_digits=None)
+
+
+def test_build_centroids_deterministic_matches_kernel(spark, doc_vectors):
+    """The Spark-side sample (orderBy id, limit, cast to double) must feed
+    the kernel exactly what the fixture's pandas path feeds it."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.plaid import (
+        build_centroids_deterministic,
+        train_codebook,
+    )
+
+    got = {
+        r.centroid_id: r.centroid
+        for r in build_centroids_deterministic(
+            doc_vectors.repartition(7), k=4, iters=5, id_col="vec_id"
+        ).collect()
+    }
+    rows = (
+        doc_vectors.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    exp = train_codebook([r.v for r in rows], k=4, iters=5)
+    assert got == {i: c for i, c in enumerate(exp)}

@@ -426,6 +426,96 @@ def expected_forest_vote_topk(
     return df.astype({"query_id": "int64", "doc_id": "int64", "rank": "int64"})
 
 
+def expected_plaid_topk(
+    sf_dir: str = "/root/testdata/sf0.01",
+    k: int = 10,
+    nprobe: int = 4,
+    t_cs: float = 0.0,
+    rerank: int = 20,
+    n_query_vecs: int = 20,
+    kc: int = 16,
+    iters: int = 20,
+) -> pd.DataFrame:
+    """Pure-Python expectation for q_plaid_topk: the codebook comes from
+    the SAME pinned driver-side Lloyd kernel (plaid.train_codebook — it is
+    driver NumPy in both paths, hand-value-tested in tests/test_plaid.py);
+    everything DISTRIBUTED — nearest-centroid assignment, the inverted
+    index, top-nprobe pruning, candidate generation, the max-then-ordered-
+    fold interaction score, and the exact rerank — is re-derived here as
+    plain dict/loop algebra with the left-fold double sums Spark's
+    ``aggregate`` computes, rounded HALF_UP to 6dp BEFORE ranking, ties by
+    doc_id. Cross-checks the crossJoin/window/join/groupBy plumbing in
+    operators/plaid.py."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.plaid import (
+        train_codebook,
+    )
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    vecs = {int(i): np.asarray(v) for i, v in zip(emb["vec_id"], emb["embedding"])}
+    corpus_ids = sorted(i for i in vecs if i >= n_query_vecs)
+    query_ids = sorted(i for i in vecs if i < n_query_vecs)
+    doc_toks: dict[int, list[int]] = {}
+    for i in corpus_ids:
+        doc_toks.setdefault(i // 4, []).append(i)
+
+    cents = train_codebook(
+        np.stack([np.asarray(vecs[i], dtype=np.float64) for i in corpus_ids]),
+        kc,
+        iters,
+    )
+
+    def dot(a, b) -> float:  # the left fold dot_col's aggregate computes
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    # inverted index: nearest (max-dot) centroid per token, ties lowest id
+    doc_cids: dict[int, set[int]] = {}
+    for i in corpus_ids:
+        scored = [(-dot(vecs[i], c), cid) for cid, c in enumerate(cents)]
+        doc_cids.setdefault(i // 4, set()).add(min(scored)[1])
+
+    # S_cq + pruning per query
+    s_cq: dict[int, dict[int, dict[int, float]]] = {}  # qid -> q_idx -> cid -> s
+    kept: dict[int, set[int]] = {}
+    for qv in query_ids:
+        qid = qv // 4
+        row = {cid: dot(vecs[qv], c) for cid, c in enumerate(cents)}
+        s_cq.setdefault(qid, {})[qv] = row
+        probed = sorted(((-s, cid) for cid, s in row.items()))[:nprobe]
+        for neg, cid in probed:
+            if -neg >= t_cs:
+                kept.setdefault(qid, set()).add(cid)
+
+    rows = []
+    for qid in sorted(s_cq):
+        cand = [d for d, cids in doc_cids.items() if cids & kept.get(qid, set())]
+        # centroid interaction score: max over doc centroids, ordered-fold
+        # sum over query tokens, 6dp HALF_UP before ranking
+        cscore = {}
+        for d in cand:
+            s = 0.0
+            for qv in sorted(s_cq[qid]):
+                s += max(s_cq[qid][qv][cid] for cid in doc_cids[d])
+            cscore[d] = _round_half_up(s, 6)
+        pool = sorted(((-s, d) for d, s in cscore.items()))[: max(k, rerank)]
+        # exact rerank over the real vectors (V2 chamfer shape)
+        escore = {}
+        for _, d in pool:
+            s = 0.0
+            for qv in sorted(s_cq[qid]):
+                s += max(dot(vecs[qv], vecs[t]) for t in doc_toks[d])
+            escore[d] = _round_half_up(s, 6)
+        ranked = sorted(((-s, d) for d, s in escore.items()))
+        for rank, (neg, d) in enumerate(ranked[:k], start=1):
+            rows.append(
+                {"query_id": qid, "doc_id": d, "score": -neg, "rank": rank}
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "doc_id", "score", "rank"])
+    return df.astype({"query_id": "int64", "doc_id": "int64", "rank": "int64"})
+
+
 def main() -> int:
     FIXTURES.mkdir(exist_ok=True)
     media = expected_media_near_dups()
@@ -443,6 +533,9 @@ def main() -> int:
     nd = expected_embedding_near_dups()
     nd.to_parquet(FIXTURES / "embedding_near_dups_sf0.01.parquet", index=False)
     print(f"embedding_near_dups (sf0.01): {len(nd)} pairs")
+    pl = expected_plaid_topk()
+    pl.to_parquet(FIXTURES / "plaid_topk_sf0.01.parquet", index=False)
+    print(f"plaid_topk (sf0.01): {len(pl)} rows")
     return 0
 
 
