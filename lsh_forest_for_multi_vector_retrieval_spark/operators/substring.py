@@ -170,6 +170,7 @@ def substring_dup_pairs(
     of anything" is preserved.
     """
     from lsh_forest_for_multi_vector_retrieval_spark.operators.pairs import (
+        bucket_ids_capped,
         star_pair_structs,
     )
     from lsh_forest_for_multi_vector_retrieval_spark.session import (
@@ -180,12 +181,9 @@ def substring_dup_pairs(
     fp = fingerprint_udf(gram, window)
     fps = docs.select(F.col(id_col).alias("doc_id"), fp(F.col(text_col)).alias("fps"))
     inv = fps.select("doc_id", F.explode("fps").alias("fp"))
-    grouped = (
-        inv.groupBy("fp")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
-        .withColumn("ids", F.slice("ids", 1, max_bucket_docs))
-    )
+    # shared salted-cap helper: a boilerplate fingerprint's collect_set is
+    # bounded by bucket/salt, not the whole bucket (hot-band skew salting)
+    grouped = bucket_ids_capped(inv, ["fp"], max_bucket_docs)
     pair_structs = star_pair_structs(F.col("ids"), bucket_pivots)
     cands = (
         grouped.select(F.explode(pair_structs).alias("p"))

@@ -205,3 +205,54 @@ def test_default_adaptive_bands_deepen_with_reserved_rows(spark):
     n_docs = sigs.where(F.size("shingles") > 0).count()
     per_band = tbl.groupBy("band_id").agg(F.countDistinct("doc_id").alias("n"))
     assert all(r.n == n_docs for r in per_band.collect())
+
+
+def test_salted_bucket_cap_equals_unsalted(spark):
+    """bucket_ids_capped: the two-stage salted path over a planted
+    mega-bucket must return EXACTLY the unsalted answer (the globally
+    smallest max_bucket_docs ids per bucket), healthy buckets must be
+    untouched, and the pre-shuffle singleton drop must survive."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.pairs import (
+        bucket_ids_capped,
+    )
+
+    rows = (
+        # hot bucket: 5_000 docs share (0, 0) — above the test threshold
+        [(0, 0, d) for d in range(5_000)]
+        # healthy buckets: pair + triple + singleton
+        + [(1, 7, 10), (1, 7, 11)]
+        + [(2, 9, 20), (2, 9, 21), (2, 9, 22)]
+        + [(3, 4, 30)]
+    )
+    bands = spark.createDataFrame(
+        rows, "band_id int, band_hash long, doc_id long"
+    ).repartition(16)
+
+    kw = dict(
+        key_cols=["band_id", "band_hash"],
+        max_bucket_docs=100,
+        salt_bucket_threshold=1_000,
+    )
+    salted = {
+        (r.band_id, r.band_hash): r.ids
+        for r in bucket_ids_capped(bands, salt_partitions=8, **kw).collect()
+    }
+    unsalted = {
+        (r.band_id, r.band_hash): r.ids
+        for r in bucket_ids_capped(bands, salt_partitions=1, **kw).collect()
+    }
+    assert salted == unsalted
+    assert salted[(0, 0)] == list(range(100))  # smallest cap ids, sorted
+    assert salted[(1, 7)] == [10, 11]
+    assert salted[(2, 9)] == [20, 21, 22]
+    assert (3, 4) not in salted  # singleton dropped
+
+
+def test_candidate_pairs_unchanged_by_salting(sigs):
+    """The flagship pair set is byte-identical whether the hot-bucket
+    salted path is enabled (default) or disabled."""
+    bands = band_table(sigs, DedupConfig())
+    on = candidate_pairs(bands, DedupConfig(salt_partitions=8))
+    off = candidate_pairs(bands, DedupConfig(salt_partitions=0))
+    assert on.exceptAll(off).count() == 0
+    assert off.exceptAll(on).count() == 0
