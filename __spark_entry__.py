@@ -359,6 +359,31 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-10 for the first 20 vectors — the FAISS
+    IVF-flat shape next to lsh_ann_topk's hyperplane blocks: pinned
+    deterministic codebook (plaid.sample_codebook), literal-array cell
+    assignment, top-nprobe probing, cell join, exact cosine rounded to
+    6dp BEFORE ranking, ties by n_id, ensure_k root fallback.
+    Deterministic end to end, so the oracle is an expected-parquet
+    fixture from an independent pure-Python emulation."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.ann import ivf_topk
+
+    assert "sf0.01" in sf_dir, (
+        f"ivf_ann_topk fixture oracle is precomputed for sf0.01; got "
+        f"{sf_dir!r} — regenerate via tools/make_expected_fixtures.py"
+    )
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20)
+    out = ivf_topk(
+        emb, qs, k=10, n_centroids=16, nprobe=4, iters=20,
+        ensure_k=True, round_digits=6,
+    )
+    return out.select(
+        "q_id", "n_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed (window=16) substring-dup pairs. Deterministic integer
     math given the input text, so the oracle is an expected-parquet
@@ -614,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_near_dups": q_media_near_dups,
         "substring_pairs": q_substring_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "forest_vote_topk": q_forest_vote_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "plaid_topk": q_plaid_topk,
@@ -1004,5 +1030,9 @@ def oracle_sql() -> dict[str, str]:
         "plaid_topk": """
             SELECT query_id, doc_id, score, rank
             FROM read_parquet('/root/repo/fixtures/plaid_topk_sf0.01.parquet')
+        """,
+        "ivf_ann_topk": """
+            SELECT q_id, n_id, cosine, rank
+            FROM read_parquet('/root/repo/fixtures/ivf_ann_topk_sf0.01.parquet')
         """,
     }

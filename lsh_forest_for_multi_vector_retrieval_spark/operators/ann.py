@@ -242,3 +242,121 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= min_cosine)
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 10,
+    sample_limit: int = 100_000,
+    centroids: list[list[float]] | None = None,
+    ensure_k: bool = False,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """(q_id, n_id, cosine, rank) — IVF-bucketed ANN, the third strategy
+    next to ``brute_force_topk`` (exact) and ``lsh_topk`` (hyperplane
+    blocks): the FAISS IVF-flat shape re-expressed relationally.
+
+    * codebook: ``plaid.sample_codebook`` — bounded deterministic sample,
+      pinned driver-side Lloyd (the standard "train the quantizer on ~1e5
+      vectors" practice); pass ``centroids`` to amortize across calls.
+    * assignment: the codebook is embedded as a LITERAL array-of-struct
+      column, so each vector's nearest (max-dot, ties to lowest id) cell
+      is one ``array_max(transform(...))`` projection — whole-stage
+      codegen, NO shuffle and NO row explosion for the corpus side (a
+      64-way crossJoin + window would shuffle |corpus|*64 rows).
+    * probing: per query the top-``nprobe`` cells by the same struct
+      ordering (``reverse(array_sort(...))``), exploded to (q_id, cell).
+    * search: one keyed join probe-cells x corpus-cells (shuffle bounded
+      by cell sizes — never |Q| x |N|; AQE skew-join splits a hot cell),
+      exact JVM cosine, per-query window top-k. Each corpus vector lives
+      in exactly one cell, so candidates need no dedup.
+    * ``ensure_k``: queries with fewer than ``k`` candidates fall back to
+      a broadcast exact scan (same semantics as ``lsh_topk``'s root
+      fallback) — guarantees k rows per query.
+    * ``round_digits``: round cosine BEFORE ranking (with the seeded
+      codebook this makes the result bit-reproducible — fixture-oracle
+      mode, same discipline as ``lsh_topk``/``plaid_topk``).
+
+    Reference analog: DESCEND + collect + exact re-rank
+    (lsh_forest.py:76-108) with k-means cells instead of hash prefixes.
+    """
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.vectors import dot_col
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.plaid import (
+        sample_codebook,
+    )
+
+    if centroids is None:
+        centroids = sample_codebook(
+            corpus, k=n_centroids, iters=iters, sample_limit=sample_limit,
+            vec_col=vec_col, id_col=id_col,
+        )
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(float(v)) for v in c]).alias("cv"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    # per-vector cell scores: struct order (s, -cid) makes max/sort break
+    # ties toward the LOWEST centroid id, matching the fixture emulation
+    scored_arr = F.transform(
+        cents_lit,
+        lambda c: F.struct(
+            dot_col(F.col(vec_col), c["cv"]).alias("s"),
+            (-c["cid"]).alias("negcid"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    cell = F.array_max(scored_arr)["cid"]
+    probe_cells = F.transform(
+        F.slice(F.reverse(F.array_sort(scored_arr)), 1, nprobe),
+        lambda x: x["cid"],
+    )
+
+    c_cells = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        cell.alias("cell"),
+    )
+    q_cells = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_cells).alias("cell"),
+    )
+    cand = (
+        q_cells.join(c_cells, "cell")
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", "q_vec", "n_vec")
+    )
+    if ensure_k:
+        q = queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+        sat = (
+            cand.groupBy("q_id")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") >= k)
+            .select("q_id")
+        )
+        root = (
+            F.broadcast(q.join(sat, "q_id", "left_anti"))
+            .crossJoin(corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")))
+            .where(F.col("q_id") != F.col("n_id"))
+        )
+        cand = cand.unionByName(root).dropDuplicates(["q_id", "n_id"])
+    cos = cosine_col(F.col("q_vec"), F.col("n_vec"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = cand.select("q_id", "n_id", cos.alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -130,6 +130,28 @@ def build_centroids_deterministic(
     Lloyd runs in :func:`train_codebook` with every float-order choice
     pinned; the returned (centroid_id, centroid) table is tiny and is
     broadcast everywhere downstream."""
+    cents = sample_codebook(
+        vectors, k, iters, sample_limit, vec_col, id_col, normalize, round_digits
+    )
+    return vectors.sparkSession.createDataFrame(
+        list(enumerate(cents)), "centroid_id int, centroid array<double>"
+    )
+
+
+def sample_codebook(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 20,
+    sample_limit: int = 100_000,
+    vec_col: str = "embedding",
+    id_col: str | None = None,
+    normalize: bool = True,
+    round_digits: int | None = 6,
+) -> list[list[float]]:
+    """The bounded-sample collect + :func:`train_codebook` behind
+    :func:`build_centroids_deterministic`, returning the plain list —
+    for callers that embed the codebook as a literal Column expression
+    (operators/ann.py::ivf_topk) instead of joining a table."""
     order = F.col(id_col) if id_col else F.xxhash64(F.col(vec_col))
     rows = (
         vectors.select(order.alias("_ord"), F.col(vec_col).cast("array<double>").alias("_v"))
@@ -137,12 +159,7 @@ def build_centroids_deterministic(
         .limit(sample_limit)
         .collect()
     )
-    cents = train_codebook(
-        [r["_v"] for r in rows], k, iters, normalize, round_digits
-    )
-    return vectors.sparkSession.createDataFrame(
-        list(enumerate(cents)), "centroid_id int, centroid array<double>"
-    )
+    return train_codebook([r["_v"] for r in rows], k, iters, normalize, round_digits)
 
 
 def centroid_index(

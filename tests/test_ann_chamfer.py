@@ -314,3 +314,38 @@ def test_lsh_topk_ensure_k_fills_sparse_queries(spark):
         .collect()
     )
     assert len(counts) == 121 and all(r["count"] == k for r in counts)
+
+
+def test_ivf_topk_recall_and_ensure_k(spark, embeddings):
+    """IVF strategy: nprobe/n_centroids = 1/2 of the cells still recovers
+    most of the true top-10 (cells group by direction, neighbors share
+    cells), ensure_k guarantees exactly k rows per query, and the result
+    is invariant to physical partitioning (literal codebook + 6dp
+    rounding)."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.ann import ivf_topk
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.metrics import (
+        recall_at_k,
+    )
+
+    queries = embeddings.where(F.col("vec_id") < 50)
+    bf = brute_force_topk(embeddings, queries, k=10)
+    iv = ivf_topk(
+        embeddings, queries, k=10, n_centroids=16, nprobe=8, iters=20,
+        ensure_k=True, round_digits=6,
+    )
+    counts = iv.groupBy("q_id").count().collect()
+    assert len(counts) == 50 and all(r["count"] == 10 for r in counts)
+    r = recall_at_k(
+        iv.select("q_id", "n_id", "cosine"),
+        bf.select("q_id", "n_id", "cosine"),
+        k=10,
+    )
+    mean_recall = r.agg(F.avg("recall_at_k")).first()[0]
+    assert mean_recall > 0.7, mean_recall
+
+    iv2 = ivf_topk(
+        embeddings.repartition(13), queries.coalesce(1), k=10,
+        n_centroids=16, nprobe=8, iters=20, ensure_k=True, round_digits=6,
+    )
+    assert iv.exceptAll(iv2).count() == 0
+    assert iv2.exceptAll(iv).count() == 0

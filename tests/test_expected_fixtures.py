@@ -187,9 +187,32 @@ def test_plaid_topk_matches_pure_python_expectation(spark, plaid_expected):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+@pytest.fixture(scope="module")
+def ivf_expected():
+    from make_expected_fixtures import expected_ivf_ann_topk
+
+    return expected_ivf_ann_topk(SF001)
+
+
+def test_ivf_ann_topk_matches_pure_python_expectation(spark, ivf_expected):
+    """The literal-array argmax assignment, top-nprobe probing, cell join,
+    ensure_k root fallback and 6dp ranking vs a dict/loop emulation with
+    left-fold cosines (codebook from the shared pinned Lloyd kernel)."""
+    import __spark_entry__ as em
+
+    got = (
+        em.q_ivf_ann_topk(spark, SF001)
+        .toPandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = ivf_expected.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_committed_fixtures_are_current(
     media_expected, substring_expected, ann_expected, fv_expected,
-    near_dup_expected, plaid_expected,
+    near_dup_expected, plaid_expected, ivf_expected,
 ):
     for name, exp, keys in (
         ("media_near_dups.parquet", media_expected, ["doc_a", "doc_b"]),
@@ -198,6 +221,7 @@ def test_committed_fixtures_are_current(
         ("forest_vote_topk_sf0.01.parquet", fv_expected, ["query_id", "rank"]),
         ("embedding_near_dups_sf0.01.parquet", near_dup_expected, ["doc_a", "doc_b"]),
         ("plaid_topk_sf0.01.parquet", plaid_expected, ["query_id", "rank"]),
+        ("ivf_ann_topk_sf0.01.parquet", ivf_expected, ["q_id", "rank"]),
     ):
         path = FIXTURES / name
         assert path.exists(), f"missing fixture {path} — run tools/make_expected_fixtures.py"

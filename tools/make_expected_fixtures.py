@@ -516,6 +516,74 @@ def expected_plaid_topk(
     return df.astype({"query_id": "int64", "doc_id": "int64", "rank": "int64"})
 
 
+def expected_ivf_ann_topk(
+    sf_dir: str = "/root/testdata/sf0.01",
+    n_queries: int = 20,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 20,
+) -> pd.DataFrame:
+    """Pure-Python expectation for q_ivf_ann_topk: codebook from the
+    shared pinned Lloyd kernel (vec_id-ordered sample, as in
+    expected_plaid_topk); cell assignment (max dot, ties to lowest cid),
+    top-nprobe probing, candidate collection, the ensure_k full-scan
+    fallback, and left-fold cosines rounded HALF_UP to 6dp before ranking
+    are re-derived as plain dict/loop algebra. Cross-checks the
+    literal-array argmax / explode / cell-join / window plumbing in
+    operators/ann.py::ivf_topk."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.plaid import (
+        train_codebook,
+    )
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    vecs = {int(i): np.asarray(v) for i, v in zip(emb["vec_id"], emb["embedding"])}
+    all_ids = sorted(vecs)
+    cents = train_codebook(
+        np.stack([np.asarray(vecs[i], dtype=np.float64) for i in all_ids]),
+        n_centroids,
+        iters,
+    )
+
+    def dot(a, b) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    def cell_scores(i: int) -> list[tuple[float, int, int]]:
+        return [(dot(vecs[i], c), -cid, cid) for cid, c in enumerate(cents)]
+
+    members: dict[int, list[int]] = {}
+    for i in all_ids:
+        members.setdefault(max(cell_scores(i))[2], []).append(i)
+
+    def cos6(a_id: int, b_id: int) -> float:
+        a, b = vecs[a_id], vecs[b_id]
+        d = na = nb = 0.0
+        for x32, y32 in zip(a.tolist(), b.tolist()):
+            x, y = float(x32), float(y32)
+            d += x * y
+            na += x * x
+            nb += y * y
+        denom = np.sqrt(na) * np.sqrt(nb)
+        return _round_half_up(d / denom if denom > 0 else 0.0, 6)
+
+    rows = []
+    for q in sorted(i for i in all_ids if i < n_queries):
+        probed = sorted(cell_scores(q), reverse=True)[:nprobe]
+        cand = {
+            n for _, _, cid in probed for n in members.get(cid, ()) if n != q
+        }
+        if len(cand) < k:  # ensure_k root fallback: exact full scan
+            cand = {n for n in all_ids if n != q}
+        scored = sorted(((-cos6(q, n), n) for n in cand))
+        for rank, (neg, n) in enumerate(scored[:k], start=1):
+            rows.append({"q_id": q, "n_id": n, "cosine": -neg, "rank": rank})
+    df = pd.DataFrame(rows, columns=["q_id", "n_id", "cosine", "rank"])
+    return df.astype({"q_id": "int64", "n_id": "int64", "rank": "int64"})
+
+
 def main() -> int:
     FIXTURES.mkdir(exist_ok=True)
     media = expected_media_near_dups()
@@ -536,6 +604,9 @@ def main() -> int:
     pl = expected_plaid_topk()
     pl.to_parquet(FIXTURES / "plaid_topk_sf0.01.parquet", index=False)
     print(f"plaid_topk (sf0.01): {len(pl)} rows")
+    iv = expected_ivf_ann_topk()
+    iv.to_parquet(FIXTURES / "ivf_ann_topk_sf0.01.parquet", index=False)
+    print(f"ivf_ann_topk (sf0.01): {len(iv)} rows")
     return 0
 
 
