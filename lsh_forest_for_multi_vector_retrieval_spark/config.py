@@ -80,12 +80,11 @@ class DedupConfig:
     cc_max_iterations: int = 50
 
     # --- hot-band skew salting (operators/pairs.py::bucket_ids_capped) ---
-    # buckets with more rows than salt_bucket_threshold are capped in two
-    # salted stages (groupBy (bucket, xxhash64(doc_id) % salt_partitions)
-    # then merge) so collect_set memory is bounded by bucket/salt instead
-    # of the whole bucket; <=1 disables salting (single-shuffle plan)
+    # buckets are capped in two salted stages (groupBy (bucket,
+    # xxhash64(doc_id) % salt_partitions) then a tiny pre-capped merge) so
+    # collect_set memory is bounded by bucket/salt instead of the whole
+    # bucket; <=1 disables salting (single-shuffle plan)
     salt_partitions: int = 8
-    salt_bucket_threshold: int = 65_536
 
     # --- misc ---
     checkpoint_format: str = "parquet"  # "iceberg" when a catalog is configured

@@ -228,11 +228,7 @@ def test_salted_bucket_cap_equals_unsalted(spark):
         rows, "band_id int, band_hash long, doc_id long"
     ).repartition(16)
 
-    kw = dict(
-        key_cols=["band_id", "band_hash"],
-        max_bucket_docs=100,
-        salt_bucket_threshold=1_000,
-    )
+    kw = dict(key_cols=["band_id", "band_hash"], max_bucket_docs=100)
     salted = {
         (r.band_id, r.band_hash): r.ids
         for r in bucket_ids_capped(bands, salt_partitions=8, **kw).collect()
