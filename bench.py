@@ -249,6 +249,17 @@ def run_headline() -> dict:
         ).count()
 
     timed("lsh_ann_topk", ann)
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.ann import ivf_topk
+
+    def ivf():
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        qs = emb.where(F.col("vec_id") < 20)
+        return ivf_topk(
+            emb, qs, k=10, n_centroids=64, nprobe=8, iters=10,
+            ensure_k=True, round_digits=6,
+        ).count()
+
+    timed("ivf_ann_topk", ivf)
     # production hash family at SF_DIR (the sf0.01-pinned fixture assert
     # lives in the driver query, not the operator)
     from lsh_forest_for_multi_vector_retrieval_spark.config import DedupConfig as _DC
