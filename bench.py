@@ -256,7 +256,7 @@ def run_headline() -> dict:
         qs = emb.where(F.col("vec_id") < 20)
         return ivf_topk(
             emb, qs, k=10, n_centroids=64, nprobe=8, iters=10,
-            ensure_k=True, round_digits=6,
+            ensure_k=True, round_digits=6, assignment="pandas",
         ).count()
 
     timed("ivf_ann_topk", ivf)

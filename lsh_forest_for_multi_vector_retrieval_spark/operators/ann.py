@@ -17,6 +17,8 @@ re-rank. Two strategies:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -257,6 +259,7 @@ def ivf_topk(
     centroids: list[list[float]] | None = None,
     ensure_k: bool = False,
     round_digits: int | None = None,
+    assignment: str = "fold",
 ) -> DataFrame:
     """(q_id, n_id, cosine, rank) — IVF-bucketed ANN, the third strategy
     next to ``brute_force_topk`` (exact) and ``lsh_topk`` (hyperplane
@@ -282,6 +285,18 @@ def ivf_topk(
     * ``round_digits``: round cosine BEFORE ranking (with the seeded
       codebook this makes the result bit-reproducible — fixture-oracle
       mode, same discipline as ``lsh_topk``/``plaid_topk``).
+    * ``assignment``: "fold" (default) computes corpus cell ids with the
+      interpreted JVM left-fold — bit-reproducible by the pure-Python
+      fixture, but HOF lambdas pay an interpreted expression tree per
+      element (~n_centroids*dim ops/row). "pandas" computes them with one
+      Arrow-batched NumPy GEMM + argmax — the production path (alternated
+      sf0.1 minima 5.4s vs 7.3s; the residue is codebook collect+train
+      and the ensure_k pass, not assignment); ulp-level GEMM
+      reduction-order variance
+      can flip argmax only on exact centroid-score ties, so results are
+      equal in practice but not provably bit-stable — keep "fold" for
+      oracle comparisons. Query probing always uses the fold (the query
+      side is small).
 
     Reference analog: DESCEND + collect + exact re-rank
     (lsh_forest.py:76-108) with k-means cells instead of hash prefixes.
@@ -321,6 +336,19 @@ def ivf_topk(
         lambda x: x["cid"],
     )
 
+    if assignment == "pandas":
+        from pyspark.sql.functions import pandas_udf
+
+        cmat = np.asarray(centroids, dtype=np.float64)
+
+        @pandas_udf("int")
+        def _cell_pd(v: pd.Series) -> pd.Series:
+            m = np.stack(v.map(lambda a: np.asarray(a, dtype=np.float64)))
+            # argmax takes the FIRST max — ties to the lowest centroid id,
+            # same rule as the fold path's struct ordering
+            return pd.Series(np.argmax(m @ cmat.T, axis=1))
+
+        cell = _cell_pd(F.col(vec_col))
     c_cells = corpus.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),

@@ -349,3 +349,18 @@ def test_ivf_topk_recall_and_ensure_k(spark, embeddings):
     )
     assert iv.exceptAll(iv2).count() == 0
     assert iv2.exceptAll(iv).count() == 0
+
+
+def test_ivf_pandas_assignment_matches_fold(spark, embeddings):
+    """The vectorized GEMM+argmax assignment (production path) returns the
+    same top-k as the bit-reproducible fold path on this corpus (ulp ties
+    between centroid scores are absent here, so the paths agree exactly)."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.ann import ivf_topk
+
+    queries = embeddings.where(F.col("vec_id") < 20)
+    kw = dict(k=10, n_centroids=16, nprobe=4, iters=10, ensure_k=True,
+              round_digits=6)
+    a = ivf_topk(embeddings, queries, assignment="fold", **kw)
+    b = ivf_topk(embeddings, queries, assignment="pandas", **kw)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
