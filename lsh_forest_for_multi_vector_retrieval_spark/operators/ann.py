@@ -306,6 +306,9 @@ def ivf_topk(
         sample_codebook,
     )
 
+    if assignment not in ("fold", "pandas"):
+        # a typo ("Pandas") must not silently fall back to the slow path
+        raise ValueError(f"assignment must be 'fold' or 'pandas', got {assignment!r}")
     if centroids is None:
         centroids = sample_codebook(
             corpus, k=n_centroids, iters=iters, sample_limit=sample_limit,
@@ -343,6 +346,8 @@ def ivf_topk(
 
         @pandas_udf("int")
         def _cell_pd(v: pd.Series) -> pd.Series:
+            if len(v) == 0:  # np.stack raises on an empty Arrow batch
+                return pd.Series([], dtype="int64")
             m = np.stack(v.map(lambda a: np.asarray(a, dtype=np.float64)))
             # argmax takes the FIRST max — ties to the lowest centroid id,
             # same rule as the fold path's struct ordering

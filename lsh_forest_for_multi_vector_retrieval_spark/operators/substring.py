@@ -127,10 +127,13 @@ def fingerprint_drop_stats(
     )
     kept = F.least(F.col("bucket_n"), F.lit(max_bucket_docs))
     non_starred = F.greatest(kept - F.lit(bucket_pivots), F.lit(0))
+    # least(pivots, cap) so a clique-truncate config (pivots > cap) still
+    # ledgers buckets that drop docs (round-4 ADVICE; mirrors
+    # pairs.bucket_drop_stats)
     return (
         inv.groupBy("fp")
         .agg(F.countDistinct("doc_id").alias("bucket_n"))
-        .where(F.col("bucket_n") > bucket_pivots)
+        .where(F.col("bucket_n") > min(bucket_pivots, max_bucket_docs))
         .select(
             "fp",
             "bucket_n",

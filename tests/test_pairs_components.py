@@ -165,8 +165,12 @@ def test_bucket_drop_stats_clamps_negative_star_skips(spark):
     )
     cfg = DedupConfig(max_bucket_docs=16, bucket_pivots=10**6)
     got = bucket_drop_stats(bands, cfg).collect()
-    # bucket_n=30 <= bucket_pivots -> below the pivot filter entirely
-    assert got == []
+    # bucket_n=30 <= bucket_pivots but > max_bucket_docs: the cap drops 14
+    # docs, so the ledger MUST show a row (round-4 ADVICE: filtering on
+    # pivots alone silently hid this drop); star skip clamps to 0
+    assert len(got) == 1
+    assert got[0].dropped_docs == 14
+    assert got[0].starred_pairs_skipped == 0
     cfg2 = DedupConfig(max_bucket_docs=16, bucket_pivots=20)
     got2 = bucket_drop_stats(bands, cfg2).collect()
     assert len(got2) == 1

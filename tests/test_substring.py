@@ -109,8 +109,13 @@ def test_substring_drop_stats_ledger(spark):
     assert hot.dropped_docs == n - 16  # cap discards 4 docs entirely
     # kept=16, pivots=4 -> C(12,2)=66 member-x-member pairs skipped
     assert hot.starred_pairs_skipped == 66
-    # clamp: pivot budget above the cap must not go negative (ADVICE r3)
+    # clamp: pivot budget above the cap must not go negative (ADVICE r3),
+    # and buckets dropping docs under the cap must STILL get a ledger row
+    # even though they are below the pivot budget (round-4 ADVICE)
     led2 = fingerprint_drop_stats(
         df, gram=32, window=16, max_bucket_docs=8, bucket_pivots=10**6
     ).collect()
     assert all(r.starred_pairs_skipped == 0 for r in led2)
+    hot2 = max(led2, key=lambda r: r.bucket_n)
+    assert hot2.bucket_n == n
+    assert hot2.dropped_docs == n - 8
