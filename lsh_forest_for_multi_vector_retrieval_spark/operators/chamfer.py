@@ -33,9 +33,18 @@ def chamfer_scores(
     q_vec_col: str = "embedding",
 ) -> DataFrame:
     """(doc_id, chamfer) where chamfer = sum over query vectors of the max
-    dot product against the doc's vectors (utils.py:27-35 semantics)."""
+    dot product against the doc's vectors (utils.py:27-35 semantics).
+
+    ``q_idx`` is a row_number over the vector-ordered query set — NOT
+    monotonically_increasing_id, which varies with partitioning and would
+    break fixture-oracle determinism (the engine's own rule,
+    plaid.py:233-235). Identical query vectors get distinct but arbitrary
+    indices; since the score depends only on the multiset of vectors, the
+    result is deterministic. The query side is the broadcast-tiny side, so
+    the single-partition window is a few rows, never corpus-sized."""
     q = query_vectors.select(
-        F.monotonically_increasing_id().alias("q_idx"), F.col(q_vec_col).alias("q_vec")
+        (F.row_number().over(Window.orderBy(F.col(q_vec_col))) - 1).alias("q_idx"),
+        F.col(q_vec_col).alias("q_vec"),
     )
     d = doc_vectors.select(F.col(doc_col).alias("doc_id"), F.col(vec_col).alias("d_vec"))
     dots = (
@@ -53,10 +62,17 @@ def chamfer_distance(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """One-sided chamfer L2: for each a-doc, mean over its vectors of the
-    min L2 distance to any b-vector (test_forest_vote.py:110-124)."""
+    min L2 distance to any b-vector (test_forest_vote.py:110-124).
+
+    ``a_idx`` is a per-doc row_number ordered by the vector value —
+    deterministic (unlike monotonically_increasing_id) and the window is
+    partitioned by doc_id, so it scales with the per-doc vector count,
+    not the corpus."""
     a = a_vectors.select(
         F.col(a_col).alias("doc_id"),
-        F.monotonically_increasing_id().alias("a_idx"),
+        F.row_number()
+        .over(Window.partitionBy(a_col).orderBy(F.col(vec_col)))
+        .alias("a_idx"),
         F.col(vec_col).alias("a_vec"),
     )
     b = b_vectors.select(F.col(vec_col).alias("b_vec"))
@@ -71,12 +87,20 @@ def rank_documents(
     scores: DataFrame, score_col: str = "chamfer", k: int | None = None
 ) -> DataFrame:
     """argsort-desc of per-doc scores (retrieval.py:34-45) with
-    deterministic tie-break on doc_id; optional top-k limit."""
+    deterministic tie-break on doc_id; optional top-k limit.
+
+    With ``k`` set, the top-k is taken with ``orderBy().limit(k)`` —
+    Catalyst plans TakeOrderedAndProject (per-partition partial top-k,
+    merge of k-row heaps on the driver side of the exchange), so the
+    corpus-wide score table never flows through one partition. Only the
+    k surviving rows pass through the rank window (round-4 VERDICT #6:
+    the old global row_number sorted ALL scores in a single reducer)."""
     w = Window.orderBy(F.desc(score_col), F.asc("doc_id"))
-    out = scores.withColumn("rank", F.row_number().over(w))
-    if k is not None:
-        out = out.where(F.col("rank") <= k)
-    return out
+    if k is None:
+        # full ranking genuinely needs the global sort
+        return scores.withColumn("rank", F.row_number().over(w))
+    topk = scores.orderBy(F.desc(score_col), F.asc("doc_id")).limit(k)
+    return topk.withColumn("rank", F.row_number().over(w))
 
 
 def best_document(scores: DataFrame, score_col: str = "chamfer") -> DataFrame:

@@ -125,6 +125,52 @@ def test_rank_and_best_document(spark):
     assert best_document(scores).first().doc_id == 2
 
 
+def test_rank_documents_topk_uses_take_ordered(spark):
+    """Round-4 VERDICT #6: with k set, the plan must be a partial top-k
+    (TakeOrderedAndProject), not a global single-partition row_number sort
+    — and the rows must equal the windowed ranking's first k."""
+    scores = spark.createDataFrame(
+        [(i, float((i * 37) % 100)) for i in range(1000)],
+        "doc_id long, chamfer double",
+    )
+    got = rank_documents(scores, k=7)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    rows = {(r.doc_id, r.rank) for r in got.collect()}
+    full = {
+        (r.doc_id, r.rank)
+        for r in rank_documents(scores).collect()
+        if r.rank <= 7
+    }
+    assert rows == full
+
+
+def test_chamfer_deterministic_under_repartition(spark):
+    """q_idx/a_idx derivation must not depend on partitioning (round-4
+    VERDICT #8: monotonically_increasing_id violated the engine's own
+    determinism rule)."""
+    rng = np.random.RandomState(7)
+    docs = spark.createDataFrame(
+        [(int(i % 20), rng.randn(8).tolist()) for i in range(200)],
+        "doc_id long, embedding array<float>",
+    )
+    qs = spark.createDataFrame(
+        [(rng.randn(8).tolist(),) for _ in range(5)], "embedding array<float>"
+    )
+    base = {r.doc_id: r.chamfer for r in chamfer_scores(docs, qs).collect()}
+    rep = {
+        r.doc_id: r.chamfer
+        for r in chamfer_scores(docs.repartition(13), qs.repartition(3)).collect()
+    }
+    assert base == rep
+    d_base = {r.doc_id: r.chamfer_dist for r in chamfer_distance(docs, qs).collect()}
+    d_rep = {
+        r.doc_id: r.chamfer_dist
+        for r in chamfer_distance(docs.repartition(11), qs.coalesce(1)).collect()
+    }
+    assert d_base == d_rep
+
+
 def test_forest_vote_ranks_planted_duplicate_first(spark):
     # planted-match correctness (chamfer_approx_planted_match.ipynb cells
     # 2,4-5): the near-duplicate must rank #1 for its query
