@@ -19,6 +19,7 @@ keyed joins against the inverted index.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -162,29 +163,85 @@ def sample_codebook(
     return train_codebook([r["_v"] for r in rows], k, iters, normalize, round_digits)
 
 
+def nearest_centroid_col(centroids: list[list[float]], vec_col: str) -> "F.Column":
+    """Nearest-centroid (max dot, ties to lowest id) as ONE projection
+    expression over a LITERAL codebook — no join, no shuffle, no row
+    explosion. Same fold arithmetic as the old crossJoin scoring
+    (``dot_col``), so assignments are bit-identical; shared shape with
+    ``ann.ivf_topk``'s cell assignment."""
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(float(v)) for v in c]).alias("cv"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    scored_arr = F.transform(
+        cents_lit,
+        lambda c: F.struct(
+            dot_col(F.col(vec_col), c["cv"]).alias("s"),
+            (-c["cid"]).alias("negcid"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return F.array_max(scored_arr)["cid"]
+
+
 def centroid_index(
     doc_vectors: DataFrame,
     centroids: DataFrame,
     doc_col: str = "doc_id",
     vec_col: str = "embedding",
+    assignment: str = "fold",
 ) -> DataFrame:
     """P3: the inverted index. Every doc token is assigned to its nearest
     (max-dot) centroid; output is the distinct exploded ``(centroid_id,
     doc_id)`` form — kept exploded rather than collect_set'd, per SURVEY
-    §1.3, so downstream joins stay relational."""
-    scored = doc_vectors.select(F.col(doc_col).alias("doc_id"), vec_col).crossJoin(
-        F.broadcast(centroids)
-    )
-    s = dot_col(F.col(vec_col), F.col("centroid"))
-    w = Window.partitionBy("doc_id", vec_col).orderBy(
-        F.desc("s"), F.asc("centroid_id")
-    )
+    §1.3, so downstream joins stay relational.
+
+    Assignment is a LITERAL-codebook argmax projection (round-4 VERDICT
+    #2/"Next #3"): the old plan crossJoined every token vector against the
+    centroid table and took argmax through a ``row_number`` window
+    partitioned by (doc_id, vector) — a |vectors| x k row explosion
+    through a full shuffle, the last 100x hazard in the headline plans.
+    The codebook is tiny (k <= a few hundred) and is collected once and
+    embedded as a literal, so assignment is now a no-shuffle,
+    whole-stage-codegen projection with bit-identical results (same
+    ``dot_col`` fold per centroid, same desc-score / asc-id tie-break).
+
+    ``assignment="pandas"``: Arrow-batched NumPy GEMM + argmax — the
+    production path for wide codebooks (same trade as ``ann.ivf_topk``:
+    ulp-level reduction-order variance can flip exact ties, so keep
+    "fold" for fixture-oracle comparisons)."""
+    if assignment not in ("fold", "pandas"):
+        raise ValueError(f"assignment must be 'fold' or 'pandas', got {assignment!r}")
+    rows = centroids.select("centroid_id", "centroid").collect()
+    codebook = [r.centroid for r in sorted(rows, key=lambda r: r.centroid_id)]
+    if [r.centroid_id for r in sorted(rows, key=lambda r: r.centroid_id)] != list(
+        range(len(rows))
+    ):
+        raise ValueError("centroid_id must be dense 0..k-1")
+    if assignment == "pandas":
+        from pyspark.sql.functions import pandas_udf
+
+        cmat = np.asarray(codebook, dtype=np.float64)
+
+        @pandas_udf("int")
+        def _cell_pd(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype="int64")
+            m = np.stack(v.map(lambda a: np.asarray(a, dtype=np.float64)))
+            return pd.Series(np.argmax(m @ cmat.T, axis=1))
+
+        cell = _cell_pd(F.col(vec_col))
+    else:
+        cell = nearest_centroid_col(codebook, vec_col)
     return (
-        scored.select("doc_id", vec_col, "centroid_id", s.alias("s"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("centroid_id", "doc_id")
-        .distinct()
+        doc_vectors.select(
+            cell.alias("centroid_id"), F.col(doc_col).alias("doc_id")
+        ).distinct()
     )
 
 
@@ -226,6 +283,7 @@ def plaid_topk(
     qvec_id_col: str = "vec_id",
     rerank: int | None = None,
     round_digits: int | None = None,
+    assignment: str = "fold",
 ) -> DataFrame:
     """P3+P4: centroid-pruned candidate generation + centroid interaction
     score. Returns (query_id, doc_id, score, rank), rank<=k per query.
@@ -244,8 +302,11 @@ def plaid_topk(
     query by centroid score, recompute the EXACT max-sum interaction over
     the real vectors (the V2 chamfer shape), and rank those. Centroid
     quantization then only decides the pool, not the final order — the
-    same cheap-candidates -> exact-verify split as the dedup flagship."""
-    index = centroid_index(doc_vectors, centroids, doc_col, vec_col)
+    same cheap-candidates -> exact-verify split as the dedup flagship.
+
+    ``assignment`` is forwarded to :func:`centroid_index` ("pandas" = the
+    Arrow GEMM production path; "fold" = bit-reproducible oracle path)."""
+    index = centroid_index(doc_vectors, centroids, doc_col, vec_col, assignment)
 
     # S_cq: query tokens x centroids (centroids broadcast — tiny side)
     qtok = query_vectors.select(

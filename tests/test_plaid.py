@@ -75,6 +75,46 @@ def test_centroid_index_covers_every_doc(doc_vectors, centroids):
     assert mx <= TOKS_PER_DOC
 
 
+def test_centroid_index_no_crossjoin_and_matches_legacy_plan(
+    doc_vectors, centroids
+):
+    """Round-4 VERDICT #2/Next-#3: assignment must be a literal-codebook
+    projection — no |vectors| x k crossJoin row explosion, no window
+    shuffle — and bit-identical to the old crossJoin+window plan."""
+    from pyspark.sql import Window
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.vectors import dot_col
+
+    idx = centroid_index(doc_vectors, centroids)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "Window"):
+        assert bad not in plan, f"{bad} in plan:\n{plan}"
+    # the only exchange left is the final distinct's hash aggregate
+    assert plan.count("Exchange") <= 1, plan
+
+    # legacy formulation (the pre-round-5 plan) must give identical rows
+    scored = doc_vectors.select("doc_id", "embedding").crossJoin(
+        F.broadcast(centroids)
+    )
+    s = dot_col(F.col("embedding"), F.col("centroid"))
+    w = Window.partitionBy("doc_id", "embedding").orderBy(
+        F.desc("s"), F.asc("centroid_id")
+    )
+    legacy = (
+        scored.select("doc_id", "embedding", "centroid_id", s.alias("s"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("centroid_id", "doc_id")
+        .distinct()
+    )
+    assert idx.exceptAll(legacy).count() == 0
+    assert legacy.exceptAll(idx).count() == 0
+
+    # pandas GEMM path agrees (ties are absent in this float data)
+    pidx = centroid_index(doc_vectors, centroids, assignment="pandas")
+    assert pidx.exceptAll(idx).count() == 0
+    assert idx.exceptAll(pidx).count() == 0
+
+
 def test_plaid_ranks_planted_doc_first(doc_vectors, query_vectors, centroids):
     # full PLAID: centroid candidates + exact re-rank of the pool
     got = plaid_topk(doc_vectors, query_vectors, centroids, k=10, nprobe=4, rerank=10)
