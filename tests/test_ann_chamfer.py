@@ -410,3 +410,41 @@ def test_ivf_pandas_assignment_matches_fold(spark, embeddings):
     b = ivf_topk(embeddings, queries, assignment="pandas", **kw)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_pandas_scoring_matches_fold(spark, embeddings):
+    """Round-4 VERDICT Next-#2: the Arrow einsum re-rank (production) must
+    return identical top-k / pairs as the interpreted HOF fold (oracle) at
+    6dp rounding, for every ANN operator that grew a scoring knob."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.ann import ivf_topk
+
+    queries = embeddings.where(F.col("vec_id") < 20)
+    kw = dict(k=10, dim=64, bits=64, n_chunks=16, ensure_k=True, round_digits=6)
+    a = lsh_topk(embeddings, queries, scoring="fold", **kw)
+    b = lsh_topk(embeddings, queries, scoring="pandas", **kw)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    ikw = dict(k=10, n_centroids=16, nprobe=4, iters=10, ensure_k=True,
+               round_digits=6, assignment="pandas")
+    ia = ivf_topk(embeddings, queries, scoring="fold", **ikw)
+    ib = ivf_topk(embeddings, queries, scoring="pandas", **ikw)
+    assert ia.exceptAll(ib).count() == 0 and ib.exceptAll(ia).count() == 0
+
+    pa = embedding_near_dup_pairs(embeddings, min_cosine=0.3, scoring="fold")
+    pb = embedding_near_dup_pairs(embeddings, min_cosine=0.3, scoring="pandas")
+    ka = {(r.doc_a, r.doc_b) for r in pa.collect()}
+    kb = {(r.doc_a, r.doc_b) for r in pb.collect()}
+    assert ka == kb and ka  # same pairs, non-empty at this loose threshold
+
+    with pytest.raises(ValueError):
+        lsh_topk(embeddings, queries, scoring="Pandas", **kw)
+
+
+def test_near_dup_pairs_signature_computed_once(spark, embeddings):
+    """Round-4 VERDICT #4: both self-join sides must read the eagerly
+    checkpointed signature table — the executed plan contains NO Python
+    UDF eval (the signature UDF ran once at checkpoint time), killing both
+    the double compute and the lazy-plan+AQE accumulator-race shape."""
+    out = embedding_near_dup_pairs(embeddings, min_cosine=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
