@@ -311,12 +311,20 @@ def dedup_pipeline(
             bucket_drop_stats,
         )
 
-        rows = bucket_drop_stats(deps["bands"], cfg).collect()
+        # totals aggregated IN Spark; only 100 detail rows ever reach the
+        # driver — on a pathological corpus with millions of hot buckets
+        # the old full-ledger collect was unbounded (round-4 VERDICT #6)
+        ledger = bucket_drop_stats(deps["bands"], cfg)
+        totals = ledger.agg(
+            F.coalesce(F.sum("dropped_docs"), F.lit(0)).alias("d"),
+            F.coalesce(F.sum("starred_pairs_skipped"), F.lit(0)).alias("s"),
+        ).first()
+        detail = ledger.orderBy(
+            F.desc("bucket_n"), "band_id", "band_hash"
+        ).limit(100).collect()
         return {
-            "dropped_docs_total": int(sum(r.dropped_docs for r in rows)),
-            "starred_pairs_skipped_total": int(
-                sum(r.starred_pairs_skipped for r in rows)
-            ),
+            "dropped_docs_total": int(totals.d),
+            "starred_pairs_skipped_total": int(totals.s),
             "capped_buckets": [
                 {
                     "band_id": r.band_id,
@@ -325,7 +333,7 @@ def dedup_pipeline(
                     "dropped_docs": r.dropped_docs,
                     "starred_pairs_skipped": r.starred_pairs_skipped,
                 }
-                for r in rows[:100]
+                for r in detail
             ],
         }
 

@@ -57,3 +57,30 @@ def test_streaming_file_source(spark, tmp_path):
     assert got.select("doc_a", "doc_b").exceptAll(want.select("doc_a", "doc_b")).count() == 0
     assert want.select("doc_a", "doc_b").exceptAll(got.select("doc_a", "doc_b")).count() == 0
     res.unpersist()
+
+
+def test_history_join_broadcasts_microbatch_side(spark):
+    """Round-4 VERDICT #5: the history side must be probed, never
+    re-shuffled, per micro-batch — the plan is a BroadcastHashJoin with
+    the (small) new-bands side broadcast and ZERO Exchange on history."""
+    from lsh_forest_for_multi_vector_retrieval_spark.streaming.incremental import (
+        history_collisions,
+    )
+
+    old = spark.range(100000).selectExpr(
+        "cast(id % 16 as int) as band_id",
+        "id * 7 as band_hash",
+        "id as doc_id",
+    )
+    new = spark.range(50).selectExpr(
+        "cast(id % 16 as int) as band_id",
+        "id * 7 as band_hash",
+        "id + 1000000 as doc_id",
+    )
+    out = history_collisions(new, old)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange" not in plan.replace("BroadcastExchange", "BX"), plan
+    # semantics: canonical pairs, new ids on the b side by construction
+    rows = out.collect()
+    assert rows and all(r.doc_a < r.doc_b for r in rows)
