@@ -30,11 +30,33 @@ MERSENNE_61 = np.uint64((1 << 61) - 1)
 EMPTY_SIG_FILL = np.int64((1 << 61) - 1)  # sentinel sig for empty docs
 
 
+PARAM_BLOCK = 128  # the canonical base-signature width (DedupConfig.num_perm)
+
+
 def minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    """Seeded (A, B) permutation parameters; A odd and nonzero."""
+    """Seeded (A, B) permutation parameters; A odd and nonzero.
+
+    Growth-stable (round-4 ADVICE): the first ``PARAM_BLOCK`` pairs are
+    always drawn as one fixed 128-wide block (all A, then all B — the
+    historical layout, so every persisted signature, committed fixture,
+    and recall artifact keeps its exact hash family), and permutations
+    BEYOND the block are drawn pairwise-interleaved, one (a_i, b_i) per
+    index. Consequence: growing ``num_perm`` (e.g. ``use_adaptive_bands``
+    extending signature_len 128 -> 160) never changes the first 128
+    parameters — base-band signatures in persisted stores
+    (streaming/incremental state, resumable checkpoints) stay valid, and
+    fixed-vs-adaptive A/Bs compare the same base family. The pre-fix
+    layout re-drew every B on growth, silently invalidating them."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64) | np.uint64(1)
-    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    p = (1 << 61) - 1
+    head = min(num_perm, PARAM_BLOCK)
+    a_blk = rng.randint(1, p, size=PARAM_BLOCK, dtype=np.uint64) | np.uint64(1)
+    b_blk = rng.randint(0, p, size=PARAM_BLOCK, dtype=np.uint64)
+    a, b = a_blk[:head], b_blk[:head]
+    if num_perm > PARAM_BLOCK:
+        extra = rng.randint(1, p, size=(num_perm - PARAM_BLOCK, 2), dtype=np.uint64)
+        a = np.concatenate([a, extra[:, 0] | np.uint64(1)])
+        b = np.concatenate([b, extra[:, 1]])
     return a, b
 
 

@@ -172,3 +172,23 @@ def test_ngram_shingles_match_expression_form(spark):
         ).otherwise(shingle_strings_col(F.col("toks"), 5)),
     ).select("doc_id", "shingle_strs")
     assert new_s.exceptAll(old_s).count() == 0 and old_s.exceptAll(new_s).count() == 0
+
+
+def test_minhash_params_growth_stable():
+    """Round-4 ADVICE: growing num_perm (use_adaptive_bands extending
+    signature_len 128->160) must not change the first 128 (a, b) pairs —
+    otherwise persisted signature stores are silently invalidated."""
+    for n_small, n_big in ((128, 160), (160, 192), (64, 128), (8, 160)):
+        a_s, b_s = minhash_params(n_small, 42)
+        a_b, b_b = minhash_params(n_big, 42)
+        assert np.array_equal(a_s, a_b[: n_small])
+        assert np.array_equal(b_s, b_b[: n_small])
+    # and the canonical 128-perm family is pinned (committed fixtures,
+    # recall artifacts, and persisted stores all assume it): legacy layout
+    import numpy as _np
+    rng = _np.random.RandomState(42)
+    p = (1 << 61) - 1
+    legacy_a = rng.randint(1, p, size=128, dtype=_np.uint64) | _np.uint64(1)
+    legacy_b = rng.randint(0, p, size=128, dtype=_np.uint64)
+    a, b = minhash_params(128, 42)
+    assert np.array_equal(a, legacy_a) and np.array_equal(b, legacy_b)
