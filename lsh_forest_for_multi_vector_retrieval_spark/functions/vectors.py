@@ -58,6 +58,24 @@ def hamming_col(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def dot_pandas_udf():
+    """Arrow-batched exact dot product over ``(array, array)`` row pairs —
+    the plain-dot sibling of :func:`cosine_pandas_udf`, used by the PLAID
+    interaction scorer's ``scoring="pandas"`` production path (the
+    centroid-score and exact-rerank stages are max-sum-of-DOTS, not
+    cosine)."""
+
+    @pandas_udf("double")
+    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.stack(a.map(lambda x: np.asarray(x, dtype=np.float64)))
+        mb = np.stack(b.map(lambda x: np.asarray(x, dtype=np.float64)))
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    return _dot
+
+
 def cosine_pandas_udf():
     """Arrow-batched exact cosine over ``(array, array)`` row pairs —
     one vectorized einsum per Arrow batch instead of an interpreted

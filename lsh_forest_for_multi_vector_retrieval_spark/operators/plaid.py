@@ -284,6 +284,7 @@ def plaid_topk(
     rerank: int | None = None,
     round_digits: int | None = None,
     assignment: str = "fold",
+    scoring: str = "fold",
 ) -> DataFrame:
     """P3+P4: centroid-pruned candidate generation + centroid interaction
     score. Returns (query_id, doc_id, score, rank), rank<=k per query.
@@ -305,7 +306,21 @@ def plaid_topk(
     same cheap-candidates -> exact-verify split as the dedup flagship.
 
     ``assignment`` is forwarded to :func:`centroid_index` ("pandas" = the
-    Arrow GEMM production path; "fold" = bit-reproducible oracle path)."""
+    Arrow GEMM production path; "fold" = bit-reproducible oracle path).
+
+    ``scoring`` picks the dot-product kernel for the two exploded-pair
+    stages (query-token x centroid S_cq, and the exact re-rank's
+    query-token x doc-token dots): "fold" (default) is the interpreted
+    left-fold — bit-reproducible, what the expected-parquet fixture pins;
+    "pandas" is one Arrow-batched einsum per batch — the production path
+    (same split as the ANN family, round-4 VERDICT "What's missing" #2)."""
+    if scoring not in ("fold", "pandas"):
+        raise ValueError(f"scoring must be 'fold' or 'pandas', got {scoring!r}")
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.vectors import (
+        dot_pandas_udf,
+    )
+
+    dot = dot_pandas_udf() if scoring == "pandas" else dot_col
     index = centroid_index(doc_vectors, centroids, doc_col, vec_col, assignment)
 
     # S_cq: query tokens x centroids (centroids broadcast — tiny side)
@@ -318,7 +333,7 @@ def plaid_topk(
         "query_id",
         "q_idx",
         "centroid_id",
-        dot_col(F.col("q_vec"), F.col("centroid")).alias("s"),
+        dot(F.col("q_vec"), F.col("centroid")).alias("s"),
     )
 
     # prune: keep top-nprobe centroids per query token...
@@ -363,8 +378,14 @@ def plaid_topk(
     exact_tok = (
         pool.join(qtok, "query_id")
         .join(dtok, "doc_id")
+        # dot projected BEFORE the agg: the pandas kernel is a scalar UDF
+        # and must not sit inside an aggregate expression
+        .select(
+            "query_id", "doc_id", "q_idx",
+            dot(F.col("q_vec"), F.col("d_vec")).alias("tok_dot"),
+        )
         .groupBy("query_id", "doc_id", "q_idx")
-        .agg(F.max(dot_col(F.col("q_vec"), F.col("d_vec"))).alias("tok_best"))
+        .agg(F.max("tok_dot").alias("tok_best"))
     )
     exact = _sum_tok_best(exact_tok, round_digits)
     return exact.withColumn("rank", F.row_number().over(wr)).where(

@@ -215,3 +215,24 @@ def test_build_centroids_deterministic_matches_kernel(spark, doc_vectors):
     )
     exp = train_codebook([r.v for r in rows], k=4, iters=5)
     assert got == {i: c for i, c in enumerate(exp)}
+
+
+def test_plaid_pandas_scoring_matches_fold(doc_vectors, query_vectors, centroids):
+    """Round-5: the Arrow einsum dot (production) must return identical
+    ranked rows as the interpreted HOF fold (oracle) at 6dp rounding —
+    same contract the ANN family's scoring knob carries."""
+    kw = dict(k=10, nprobe=4, rerank=10, round_digits=6)
+    a = plaid_topk(doc_vectors, query_vectors, centroids, scoring="fold", **kw)
+    b = plaid_topk(doc_vectors, query_vectors, centroids, scoring="pandas", **kw)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() > 0
+
+    # coarse (centroid-only) path exercises the S_cq kernel alone
+    ca = plaid_topk(doc_vectors, query_vectors, centroids, k=5, nprobe=4,
+                    round_digits=6, scoring="fold")
+    cb = plaid_topk(doc_vectors, query_vectors, centroids, k=5, nprobe=4,
+                    round_digits=6, scoring="pandas")
+    assert ca.exceptAll(cb).count() == 0 and cb.exceptAll(ca).count() == 0
+
+    with pytest.raises(ValueError):
+        plaid_topk(doc_vectors, query_vectors, centroids, scoring="Pandas", **kw)
