@@ -609,6 +609,54 @@ def q_forest_vote_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forest_vote_pipeline(spark, sf_dir, PORTABLE_CFG, k=5)
 
 
+def q_chamfer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector chamfer similarity (V2: sum over query vectors of the
+    max dot against each doc's vectors — reference utils.py:27-35) in the
+    oracle-exact quantized mode: per-dot round to 6dp held as BIGINT
+    micro-units, so max/sum are exact integer arithmetic on both engines."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.chamfer import chamfer_scores
+
+    emb = _read(spark, sf_dir, "embeddings")
+    docs = emb.select((F.col("vec_id") / 4).cast("long").alias("doc_id"), "embedding")
+    qs = emb.where(F.col("vec_id") < 4)
+    return chamfer_scores(docs, qs, quantize_digits=6).select("doc_id", "chamfer")
+
+
+def q_chamfer_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 retrieval ranking over chamfer scores: top-10 docs via
+    TakeOrderedAndProject (no global window — round-4 VERDICT #6),
+    deterministic tie-break on doc_id."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.chamfer import (
+        chamfer_scores,
+        rank_documents,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    docs = emb.select((F.col("vec_id") / 4).cast("long").alias("doc_id"), "embedding")
+    qs = emb.where(F.col("vec_id") < 4)
+    scores = chamfer_scores(docs, qs, quantize_digits=6)
+    return rank_documents(scores, k=10).select(
+        "doc_id", "chamfer", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_chamfer_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided chamfer L2 distance (V3: per a-doc mean over its vectors
+    of the min L2 to any b-vector — reference test_forest_vote.py:110-124),
+    quantized mode: per-pair distance in exact micro-units, mean = one
+    double division + final 6dp round."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.chamfer import (
+        chamfer_distance,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") < 200).select(
+        (F.col("vec_id") / 4).cast("long").alias("doc_id"), "embedding"
+    )
+    b = emb.where(F.col("vec_id") >= 480).select("embedding")
+    return chamfer_distance(a, b, quantize_digits=6).select("doc_id", "chamfer_dist")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
@@ -625,6 +673,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_stats": q_events_type_stats,
         "parts_never_ordered": q_parts_never_ordered,
         "embedding_topk": q_embedding_topk,
+        "chamfer_scores": q_chamfer_scores,
+        "chamfer_rank_topk": q_chamfer_rank_topk,
+        "chamfer_distance": q_chamfer_distance,
         # oracle-checked LSH internals (portable hash family / exact modes)
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -970,6 +1021,53 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cosine_r DESC, n_id ASC)::BIGINT AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        "chamfer_scores": """
+            WITH q AS (SELECT vec_id AS q_idx, embedding AS q_vec FROM embeddings WHERE vec_id < 4),
+            d AS (SELECT vec_id // 4 AS doc_id, embedding AS d_vec FROM embeddings),
+            dots AS (
+              SELECT doc_id, q_idx,
+                CAST(round(list_sum(list_transform(generate_series(1, len(d_vec)),
+                     i -> d_vec[i]::DOUBLE * q_vec[i]::DOUBLE)) * 1000000.0) AS BIGINT) AS dot
+              FROM d, q
+            ),
+            per_q AS (SELECT doc_id, q_idx, max(dot) AS best FROM dots GROUP BY doc_id, q_idx)
+            SELECT doc_id, sum(best)::BIGINT AS chamfer FROM per_q GROUP BY doc_id
+        """,
+        "chamfer_rank_topk": """
+            WITH q AS (SELECT vec_id AS q_idx, embedding AS q_vec FROM embeddings WHERE vec_id < 4),
+            d AS (SELECT vec_id // 4 AS doc_id, embedding AS d_vec FROM embeddings),
+            dots AS (
+              SELECT doc_id, q_idx,
+                CAST(round(list_sum(list_transform(generate_series(1, len(d_vec)),
+                     i -> d_vec[i]::DOUBLE * q_vec[i]::DOUBLE)) * 1000000.0) AS BIGINT) AS dot
+              FROM d, q
+            ),
+            per_q AS (SELECT doc_id, q_idx, max(dot) AS best FROM dots GROUP BY doc_id, q_idx),
+            scores AS (SELECT doc_id, sum(best)::BIGINT AS chamfer FROM per_q GROUP BY doc_id)
+            SELECT doc_id, chamfer, rank FROM (
+              SELECT doc_id, chamfer,
+                     row_number() OVER (ORDER BY chamfer DESC, doc_id ASC)::BIGINT AS rank
+              FROM scores
+            ) WHERE rank <= 10
+        """,
+        "chamfer_distance": """
+            WITH a AS (
+              SELECT vec_id // 4 AS doc_id, vec_id AS a_idx, embedding AS a_vec
+              FROM embeddings WHERE vec_id < 200
+            ),
+            b AS (SELECT embedding AS b_vec FROM embeddings WHERE vec_id >= 480),
+            dists AS (
+              SELECT doc_id, a_idx,
+                CAST(round(sqrt(list_sum(list_transform(generate_series(1, len(a_vec)),
+                     i -> (a_vec[i]::DOUBLE - b_vec[i]::DOUBLE)
+                        * (a_vec[i]::DOUBLE - b_vec[i]::DOUBLE)))) * 1000000.0) AS BIGINT) AS dist
+              FROM a, b
+            ),
+            per_vec AS (SELECT doc_id, a_idx, min(dist) AS min_d FROM dists GROUP BY doc_id, a_idx)
+            SELECT doc_id,
+                   round(sum(min_d)::DOUBLE / count(*) / 1000000.0, 6) AS chamfer_dist
+            FROM per_vec GROUP BY doc_id
         """,
         # recompute the rawrgb payload bytes (48 chained md5 digests) in SQL:
         # payload position i carries byte (i % 16) of md5(text || 'x' || i//16)

@@ -31,6 +31,7 @@ def chamfer_scores(
     doc_col: str = "doc_id",
     vec_col: str = "embedding",
     q_vec_col: str = "embedding",
+    quantize_digits: int | None = None,
 ) -> DataFrame:
     """(doc_id, chamfer) where chamfer = sum over query vectors of the max
     dot product against the doc's vectors (utils.py:27-35 semantics).
@@ -41,16 +42,23 @@ def chamfer_scores(
     plaid.py:233-235). Identical query vectors get distinct but arbitrary
     indices; since the score depends only on the multiset of vectors, the
     result is deterministic. The query side is the broadcast-tiny side, so
-    the single-partition window is a few rows, never corpus-sized."""
+    the single-partition window is a few rows, never corpus-sized.
+
+    ``quantize_digits=d`` switches to the ORACLE-EXACT mode: each dot is
+    rounded to ``d`` decimals and held as an integer in ``10^-d`` units,
+    so max and sum are exact integer arithmetic and the result (a BIGINT
+    ``chamfer`` in micro-units for d=6) hash-matches any engine that
+    computes the same left-to-right fold — float summation order can no
+    longer produce ulp drift after the per-dot round."""
     q = query_vectors.select(
         (F.row_number().over(Window.orderBy(F.col(q_vec_col))) - 1).alias("q_idx"),
         F.col(q_vec_col).alias("q_vec"),
     )
     d = doc_vectors.select(F.col(doc_col).alias("doc_id"), F.col(vec_col).alias("d_vec"))
-    dots = (
-        d.join(F.broadcast(q))
-        .select("doc_id", "q_idx", dot_col(F.col("d_vec"), F.col("q_vec")).alias("dot"))
-    )
+    dot = dot_col(F.col("d_vec"), F.col("q_vec"))
+    if quantize_digits is not None:
+        dot = F.round(dot * F.lit(float(10**quantize_digits))).cast("long")
+    dots = d.join(F.broadcast(q)).select("doc_id", "q_idx", dot.alias("dot"))
     per_q = dots.groupBy("doc_id", "q_idx").agg(F.max("dot").alias("best"))
     return per_q.groupBy("doc_id").agg(F.sum("best").alias("chamfer"))
 
@@ -60,6 +68,7 @@ def chamfer_distance(
     b_vectors: DataFrame,
     a_col: str = "doc_id",
     vec_col: str = "embedding",
+    quantize_digits: int | None = None,
 ) -> DataFrame:
     """One-sided chamfer L2: for each a-doc, mean over its vectors of the
     min L2 distance to any b-vector (test_forest_vote.py:110-124).
@@ -67,7 +76,13 @@ def chamfer_distance(
     ``a_idx`` is a per-doc row_number ordered by the vector value —
     deterministic (unlike monotonically_increasing_id) and the window is
     partitioned by doc_id, so it scales with the per-doc vector count,
-    not the corpus."""
+    not the corpus.
+
+    ``quantize_digits=d`` is the ORACLE-EXACT mode (see chamfer_scores):
+    per-pair distances are rounded to ``d`` decimals and held in integer
+    ``10^-d`` units so min/sum are exact; the mean is then ONE double
+    division of exact integers (sum < 2^53) followed by a final
+    round-to-d — every step bit-reproducible across engines."""
     a = a_vectors.select(
         F.col(a_col).alias("doc_id"),
         F.row_number()
@@ -76,11 +91,20 @@ def chamfer_distance(
         F.col(vec_col).alias("a_vec"),
     )
     b = b_vectors.select(F.col(vec_col).alias("b_vec"))
-    dists = a.join(F.broadcast(b)).select(
-        "doc_id", "a_idx", F.sqrt(l2_sq_col(F.col("a_vec"), F.col("b_vec"))).alias("dist")
-    )
+    dist = F.sqrt(l2_sq_col(F.col("a_vec"), F.col("b_vec")))
+    if quantize_digits is not None:
+        dist = F.round(dist * F.lit(float(10**quantize_digits))).cast("long")
+    dists = a.join(F.broadcast(b)).select("doc_id", "a_idx", dist.alias("dist"))
     per_vec = dists.groupBy("doc_id", "a_idx").agg(F.min("dist").alias("min_d"))
-    return per_vec.groupBy("doc_id").agg(F.avg("min_d").alias("chamfer_dist"))
+    if quantize_digits is None:
+        return per_vec.groupBy("doc_id").agg(F.avg("min_d").alias("chamfer_dist"))
+    scale = float(10**quantize_digits)
+    return per_vec.groupBy("doc_id").agg(
+        F.round(
+            F.sum("min_d").cast("double") / F.count(F.lit(1)) / F.lit(scale),
+            quantize_digits,
+        ).alias("chamfer_dist")
+    )
 
 
 def rank_documents(

@@ -116,6 +116,29 @@ def test_chamfer_distance_hand_computed(spark):
     assert got.chamfer_dist == pytest.approx((0.0 + 5.0) / 2)
 
 
+def test_chamfer_quantized_mode(spark):
+    # quantize_digits=6: per-dot round to micro-units -> exact integer
+    # max/sum (the oracle-exact mode behind the chamfer_* driver queries)
+    docs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0]), (2, [0.0, -1.0])],
+        "doc_id long, embedding array<float>",
+    )
+    qs = spark.createDataFrame(
+        [([1.0, 0.0],), ([1.0, 1.0],)], "embedding array<float>"
+    )
+    got = chamfer_scores(docs, qs, quantize_digits=6)
+    assert dict(got.dtypes)["chamfer"] == "bigint"
+    vals = {r.doc_id: r.chamfer for r in got.collect()}
+    assert vals[1] == 2_000_000 and vals[2] == -1_000_000
+
+    a = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (1, [3.0, 4.0])], "doc_id long, embedding array<float>"
+    )
+    b = spark.createDataFrame([([0.0, 0.0],)], "embedding array<float>")
+    got_d = chamfer_distance(a, b, quantize_digits=6).first()
+    assert got_d.chamfer_dist == pytest.approx(2.5, abs=1e-6)
+
+
 def test_rank_and_best_document(spark):
     scores = spark.createDataFrame(
         [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1)], "doc_id long, chamfer double"
