@@ -84,16 +84,14 @@ def _flagship(spark, docs):
     return n_clusters, n_pairs
 
 
-def run_plaid(spark) -> dict:
+def run_plaid(spark, reps: int = 2, compute_mrr: bool = True) -> dict:
     """PLAID bench row: 500-query amortized q/s + MRR@10 on the SF_DIR
     embeddings (2,000 vectors -> 500 4-token docs at sf0.1), scored
     against the EXACT max-sum-interaction top-1 (the reference reports
     18.5 q/s / MRR 0.2997 on MS MARCO with a GPU encoder — BASELINE.md).
     Measured here (local[32], quiet window): ~35 q/s at MRR 0.55."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from lsh_forest_for_multi_vector_retrieval_spark.functions.vectors import dot_col
     from lsh_forest_for_multi_vector_retrieval_spark.operators.metrics import mrr_at_k
     from lsh_forest_for_multi_vector_retrieval_spark.operators.plaid import (
         build_centroids,
@@ -130,35 +128,56 @@ def run_plaid(spark) -> dict:
     # collapses MRR — measured sweep: nprobe=4/t_cs=0.2/rerank=20 -> MRR
     # 0.20; nprobe=16/t_cs=0/rerank=100 -> 0.56 at equal-or-lower wall
     cents = build_centroids(corpus, k=32, seed=42)
-    t0 = time.perf_counter()
-    res = plaid_topk(
-        corpus, queries, cents, k=10, nprobe=16, t_cs=0.0, rerank=100
-    ).localCheckpoint(eager=True)
-    wall = time.perf_counter() - t0
+    wall = float("inf")
+    for _ in range(reps):  # best-of-reps: rep 1 absorbs JIT/plan compile
+        t0 = time.perf_counter()
+        res = plaid_topk(
+            corpus, queries, cents, k=10, nprobe=16, t_cs=0.0, rerank=100,
+            assignment="pandas", scoring="pandas",  # production kernels
+        ).localCheckpoint(eager=True)
+        wall = min(wall, time.perf_counter() - t0)
 
-    # exact oracle: true top-1 doc by max-sum interaction over real vectors
-    qt = queries.select("query_id", "vec_id", F.col("embedding").alias("q_vec"))
-    dt = corpus.select("doc_id", F.col("embedding").alias("d_vec"))
-    per_tok = (
-        F.broadcast(qt)
-        .crossJoin(dt)
-        .groupBy("query_id", "vec_id", "doc_id")
-        .agg(F.max(dot_col(F.col("q_vec"), F.col("d_vec"))).alias("m"))
-    )
-    exact = per_tok.groupBy("query_id", "doc_id").agg(F.sum("m").alias("s"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("doc_id"))
-    rel = (
-        exact.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-        .select("query_id", "doc_id")
-    )
-    mrr = mrr_at_k(res, rel, k=10, query_col="query_id", item_col="doc_id")
+    mrr = None
+    if compute_mrr:
+        # Exact oracle: true top-1 doc by max-sum interaction over real
+        # vectors. UNCOUNTED (quality gate, not a timed row), so it runs
+        # driver-side in NumPy: at bench scale the corpus is ~2k x 64
+        # floats (~1 MB) and the whole q_tok x d_tok score matrix is ONE
+        # matmul — the previous distributed 4M-row crossJoin (interpreted
+        # fold or Arrow round-trip) dominated the bench's wall clock on
+        # 1-2 input partitions while the timed rows sat idle.
+        import numpy as np
+
+        _log("plaid: computing exact-MRR oracle (driver-side NumPy)")
+        q_rows = queries.select("query_id", "embedding").collect()
+        d_rows = corpus.select("doc_id", "embedding").collect()
+        qm = np.asarray([r.embedding for r in q_rows], dtype=np.float64)
+        dm = np.asarray([r.embedding for r in d_rows], dtype=np.float64)
+        qid = np.asarray([r.query_id for r in q_rows])
+        did = np.asarray([r.doc_id for r in d_rows])
+        s = qm @ dm.T  # q_tok x d_tok dots
+        # max over each doc's tokens, then sum over each query's tokens
+        doc_ids = np.unique(did)
+        per_doc = np.stack(
+            [s[:, did == d].max(axis=1) for d in doc_ids], axis=1
+        )  # q_tok x doc
+        query_ids = np.unique(qid)
+        rel_rows = []
+        for q in query_ids:
+            tot = per_doc[qid == q].sum(axis=0)  # sum over query tokens
+            best = tot.max()
+            # ties broken toward the lowest doc_id (matches the SQL oracle)
+            rel_rows.append((int(q), int(doc_ids[tot >= best].min())))
+        rel = spark.createDataFrame(rel_rows, "query_id long, doc_id long")
+        mrr = round(
+            mrr_at_k(res, rel, k=10, query_col="query_id", item_col="doc_id"), 4
+        )
     corpus.unpersist(blocking=True)
     queries.unpersist(blocking=True)
     return {
         "plaid_sec": round(wall, 3),
         "plaid_qps": round(n_q / wall, 1),
-        "plaid_mrr10_vs_exact_top1": round(mrr, 4),
+        "plaid_mrr10_vs_exact_top1": mrr,
         "plaid_n_queries": n_q,
     }
 
@@ -194,7 +213,63 @@ def _spin_worker(reps: int) -> float:
     return time.perf_counter() - t0
 
 
-def run_headline() -> dict:
+def _log(msg: str) -> None:
+    """Progress note to stderr (stdout carries the one JSON line): a
+    stalled or patience-looping bench must be diagnosable from its log."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def _delivery_probe_subproc(n_procs: int) -> float:
+    """Run the delivery probe in a FRESH python subprocess. Forking a
+    JVM-attached PySpark driver (mp.Pool inside run_headline) can deadlock
+    in the child — observed as a bench hang with both the JVM and the
+    driver near-idle; a clean interpreter has nothing to inherit."""
+    proc = subprocess.run(
+        [sys.executable, __file__, "--probe", str(n_procs)],
+        capture_output=True, text=True,
+        env={**os.environ, "PYTHONPATH": str(Path(__file__).parent)},
+    )
+    for line in reversed(proc.stdout.splitlines()):
+        try:
+            return float(line.strip())
+        except ValueError:
+            continue
+    return 0.0
+
+
+def _wait_for_quiet(gate: float, patience_s: float) -> float:
+    """Delay a suite pass until the deliverable-CPU probe clears ``gate``
+    (the quiet-window scheduling loop from tools/scaling_paired.py, ported
+    here per round-4 VERDICT "Next" #1: three rounds of committed headline
+    artifacts were throttle-window samples because run_headline measured
+    whatever window it landed in). Returns the probe that released the
+    pass — >= gate, or the last reading once patience expires (the pass
+    then runs anyway so the driver always gets its one JSON line, but the
+    artifact flags itself via probe_gate_met=false)."""
+    deadline = time.monotonic() + patience_s
+    while True:
+        p = _delivery_probe_subproc(CPUS)
+        if p >= gate:
+            _log(f"probe {p}/{CPUS} >= gate {gate:.1f} — window accepted")
+            return p
+        if time.monotonic() >= deadline:
+            _log(f"probe {p}/{CPUS} < gate {gate:.1f} but patience expired — "
+                 "running anyway (artifact will carry probe_gate_met=false)")
+            return p
+        _log(f"probe {p}/{CPUS} < gate {gate:.1f} — waiting for a quiet window")
+        time.sleep(15.0)
+
+
+def _suite_pass(spark, docs, reps: int = 2, compute_mrr: bool = True) -> dict:
+    """One full pass over the headline queries; returns per-query wall
+    seconds (best-of-``reps`` within the pass) plus the plaid quality
+    fields. run_headline alternates passes across probe-gated windows and
+    keeps per-query minima over the gate-valid passes.
+
+    ``reps=2`` within a pass is load-bearing, not paranoia: measured on a
+    quiet window, the flagship converges 22s -> 14s -> 5s -> 3.4s over
+    consecutive executions (JVM C2 compilation of the generated stage
+    code) — a single-shot sample reads JIT warm-up, not the engine."""
     import __spark_entry__ as em
     from pyspark.sql import functions as F
 
@@ -202,21 +277,16 @@ def run_headline() -> dict:
         substring_dup_pairs,
     )
 
-    spark = _spark(CPUS)
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    n_docs = docs.count()  # warms the JVM + page cache
-
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn, reps: int = 2):
-        # best-of-N: the sandbox VM is bursty and rep 1 absorbs Python
-        # worker spin-up; the min is the steady-state cost
+    def timed(name: str, fn):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        _log(f"  {name}: {best:.2f}s (best of {reps})")
 
     timed("dedup_e2e", lambda: _flagship(spark, docs))
     timed(
@@ -245,7 +315,7 @@ def run_headline() -> dict:
         qs = emb.where(F.col("vec_id") < 20)
         return lsh_topk(
             emb, qs, k=10, dim=64, bits=64, n_chunks=16, ensure_k=True,
-            round_digits=6,
+            round_digits=6, scoring="pandas",
         ).count()
 
     timed("lsh_ann_topk", ann)
@@ -257,6 +327,7 @@ def run_headline() -> dict:
         return ivf_topk(
             emb, qs, k=10, n_centroids=64, nprobe=8, iters=10,
             ensure_k=True, round_digits=6, assignment="pandas",
+            scoring="pandas",
         ).count()
 
     timed("ivf_ann_topk", ivf)
@@ -269,8 +340,52 @@ def run_headline() -> dict:
         lambda: em.forest_vote_pipeline(spark, SF_DIR, _DC(), k=5).count(),
     )
 
-    plaid = run_plaid(spark)
+    plaid = run_plaid(spark, reps=reps, compute_mrr=compute_mrr)
     timings["plaid_topk"] = plaid["plaid_sec"]
+    return {"timings": timings, "plaid": plaid}
+
+
+def run_headline() -> dict:
+    """Probe-gated headline suite (round-4 VERDICT "Next" #1): each pass
+    waits (up to SPARK_GRAFT_QUIET_PATIENCE, default 480 s) for a window
+    where the deliverable-CPU probe reads >= SPARK_GRAFT_PROBE_GATE
+    (default 0.90) x CPUS; SPARK_GRAFT_BENCH_PASSES (default 2) passes
+    alternate across windows and the recorded per-query number is the
+    minimum over GATE-VALID passes only. A sample taken in a throttled
+    window can no longer masquerade as engine performance: if no pass
+    clears the gate within patience, the artifact says so
+    (probe_gate_met=false) instead of silently under-reporting.
+    Evidence-discipline analog: /root/reference/src/shared/test_query.py:191."""
+    gate_frac = float(os.environ.get("SPARK_GRAFT_PROBE_GATE", "0.90"))
+    patience = float(os.environ.get("SPARK_GRAFT_QUIET_PATIENCE", "480"))
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    gate = gate_frac * CPUS
+
+    spark = _spark(CPUS)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()  # warms the JVM + page cache
+    # untimed warm-up: JVM JIT, Python worker pools, shuffle dirs, page
+    # cache — so pass 1 measures steady state, not spin-up
+    _flagship(spark, docs)
+
+    passes: list[dict] = []
+    for i in range(n_passes):
+        probe = _wait_for_quiet(gate, patience)
+        _log(f"pass {i + 1}/{n_passes} starting (probe {probe}/{CPUS})")
+        # MRR oracle on pass 0 only: uncounted, expensive, deterministic
+        rec = _suite_pass(spark, docs, reps=2, compute_mrr=(i == 0))
+        rec["probe"] = probe
+        passes.append(rec)
+        _log(f"pass {i + 1} done: {round(sum(rec['timings'].values()), 1)}s summed")
+
+    valid = [p for p in passes if p["probe"] >= gate]
+    used = valid if valid else passes
+    query_names = list(used[0]["timings"].keys())
+    timings = {
+        q: min(p["timings"][q] for p in used) for q in query_names
+    }
+    best_plaid = min(used, key=lambda p: p["plaid"]["plaid_sec"])["plaid"]
+    mrr = passes[0]["plaid"]["plaid_mrr10_vs_exact_top1"]
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -281,14 +396,18 @@ def run_headline() -> dict:
         "sf": SF_DIR,
         "n_docs": n_docs,
         "dedup_docs_per_sec": round(n_docs / timings["dedup_e2e"], 1),
-        "plaid_qps": plaid["plaid_qps"],
-        "plaid_mrr10_vs_exact_top1": plaid["plaid_mrr10_vs_exact_top1"],
+        "plaid_qps": best_plaid["plaid_qps"],
+        "plaid_mrr10_vs_exact_top1": mrr,
         "cpus": CPUS,
-        # measured AFTER the suite: how many of the requested cores the
-        # hypervisor was delivering around this sample (BASELINE.md
-        # "substrate variability" — quiet windows read ~0.85-1.0x, capped
-        # windows a fraction of that; a low value here flags the sample)
-        "cpu_delivery_probe": _delivery_probe(CPUS),
+        # probe that released each counted pass (pre-pass, not post-suite):
+        # every number above was measured in a window whose deliverable-CPU
+        # reading is listed here. probe_gate_met=false marks a sample the
+        # gate never released — read it as substrate, not engine.
+        "cpu_delivery_probe": max(p["probe"] for p in used),
+        "pass_probes": [p["probe"] for p in passes],
+        "probe_gate": round(gate, 2),
+        "probe_gate_met": bool(valid),
+        "passes_counted": len(used),
     }
     spark.stop()
     return out
@@ -380,6 +499,10 @@ if __name__ == "__main__":
     if "--single-run" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--single-run") + 1])
         print(json.dumps(run_single(cpus)))
+    elif "--probe" in sys.argv:
+        # clean-interpreter probe mode (see _delivery_probe_subproc)
+        n = int(sys.argv[sys.argv.index("--probe") + 1])
+        print(_delivery_probe(n))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
