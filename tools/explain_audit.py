@@ -72,6 +72,54 @@ def main() -> int:
         ["broadcast joins on dims", "partial aggregation present"],
     ))
 
+    # 4. (round-5) PLAID inverted-index assignment: literal-codebook argmax
+    # projection — the round-4 crossJoin+window row explosion is gone
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.plaid import (
+        build_centroids,
+        centroid_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select((F.col("vec_id") / 4).cast("long").alias("doc_id"), "embedding")
+    cents = build_centroids(corpus, k=8, seed=42)
+    sections.append((
+        "plaid centroid_index (literal-codebook argmax assignment)",
+        plan_of(centroid_index(corpus, cents)),
+        ["no CartesianProduct / join for assignment",
+         "only shuffle is the final distinct"],
+    ))
+
+    # 5. (round-5) streaming history probe: micro-batch side broadcast,
+    # history side never re-shuffled
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.bands import (
+        band_table,
+        with_signatures,
+    )
+    from lsh_forest_for_multi_vector_retrieval_spark.streaming.incremental import (
+        history_collisions,
+    )
+
+    # The production history side is a PERSISTED parquet band table
+    # (streaming/incremental.py reads state_dir/bands each micro-batch),
+    # so materialize the fixture the same way — computing bands inline
+    # would put with_signatures' own repartition Exchange on the history
+    # side and misread it as a per-batch history re-shuffle.
+    import tempfile
+
+    hist_dir = tempfile.mkdtemp(prefix="audit_hist_bands_")
+    band_table(
+        with_signatures(docs.where(F.col("doc_id") % 10 != 0)), DedupConfig()
+    ).write.mode("overwrite").parquet(hist_dir)
+    hist_bands = spark.read.parquet(hist_dir)
+    new_bands = band_table(
+        with_signatures(docs.where(F.col("doc_id") % 100 == 0)), DedupConfig()
+    )
+    sections.append((
+        "streaming history_collisions (micro-batch broadcast probe)",
+        plan_of(history_collisions(new_bands, hist_bands)),
+        ["BroadcastHashJoin", "no shuffle Exchange on the history side"],
+    ))
+
     checks: list[str] = []
 
     def check(name: str, ok: bool, detail: str = "") -> None:
@@ -117,6 +165,31 @@ def main() -> int:
     rel = sections[2][1]
     check("dimension joins broadcast", "BroadcastHashJoin" in rel)
     check("partial aggregation (map-side combine)", "partial" in rel.lower() or "HashAggregate" in rel)
+    pl = sections[3][1]
+    check(
+        "plaid assignment is a shuffle-free projection",
+        "CartesianProduct" not in pl
+        and "Join" not in pl
+        and len(set(_re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", pl))) <= 1,
+        "literal-codebook argmax; the single Exchange is the output distinct "
+        "(round-4 VERDICT #2: the old plan exploded |vectors|xK rows through "
+        "a crossJoin + row_number window shuffle)",
+    )
+    st = sections[4][1]
+    # history side = the join's left subtree, printed between the
+    # BroadcastHashJoin line and the BroadcastExchange line (the broadcast
+    # subtree — the micro-batch side — is the right child and prints last;
+    # its internal repartition Exchange is fine: it shuffles only the tiny
+    # batch, never the history)
+    hist_side = st.split("BroadcastExchange")[0].split("BroadcastHashJoin")[-1]
+    check(
+        "streaming history probe: batch side broadcast, history not re-shuffled",
+        "BroadcastHashJoin" in st and "Exchange" not in hist_side,
+        "history_collisions broadcasts the micro-batch band rows and probes "
+        "the persisted history scan in place "
+        "(round-4 VERDICT #5: the old shuffle join re-partitioned the whole "
+        "history every micro-batch)",
+    )
 
     out = ["# PLAN_AUDIT — physical plans of the headline operators",
            "",
