@@ -244,6 +244,7 @@ def main() -> int:
         i = 0
         n_valid = 0
         probes: dict[int, list[float]] = {small: [], big: []}
+        post_probes: dict[int, list[float]] = {small: [], big: []}
         # round-4 pre-declared rule (BASELINE.md): keep sampling until
         # `passes` VALID pairs exist (both legs' probes >= 95% of their
         # core count) or the budget runs out; voided pairs are recorded
@@ -280,15 +281,27 @@ def main() -> int:
                     )
                 samples[cpus].append(float(sec))
                 results.add((int(nc), int(npairs)))
+                # post-leg probe (round-5, ported from stage_scaling): a
+                # pre-leg probe cannot certify a multi-minute leg — round-4
+                # committed 1-core legs with clean pre-probes that ran
+                # 1.8-2.4x the pinned quiet minimum (mid-leg throttle).
+                # Settle 8 s first so the probe doesn't contend with the
+                # worker JVM's own wind-down on the same pinned cores.
+                time.sleep(8.0)
+                post = _cpu_probe(cpus, cpu_set=cpu_set)
+                post_probes[cpus].append(post)
                 print(
                     f"pass {i} local[{cpus}]: {sec}s "
-                    f"(probe: {eff_cores}/{cpus} deliverable cores)",
+                    f"(probes: pre {eff_cores}/{cpus}, post {post}/{cpus} "
+                    f"deliverable cores)",
                     flush=True,
                 )
             pe = (samples[small][-1] / samples[big][-1]) / (big / small)
             pair_valid = (
                 probes[small][-1] >= 0.95 * small
                 and probes[big][-1] >= 0.95 * big
+                and post_probes[small][-1] >= 0.95 * small
+                and post_probes[big][-1] >= 0.95 * big
             )
             n_valid += pair_valid
             print(
@@ -331,7 +344,10 @@ def main() -> int:
     valid_idx = [
         j
         for j in range(n_pairs_done)
-        if probes[small][j] >= 0.95 * small and probes[big][j] >= 0.95 * big
+        if probes[small][j] >= 0.95 * small
+        and probes[big][j] >= 0.95 * big
+        and post_probes[small][j] >= 0.95 * small
+        and post_probes[big][j] >= 0.95 * big
     ]
     gated_eff = None
     if valid_idx:
@@ -345,9 +361,11 @@ def main() -> int:
         "unit": "efficiency",
         "probe_gated": {
             "rule": "valid pair = both legs' deliverable-CPU probes >= "
-            "0.95x the leg's core count, measured immediately before each "
-            "leg; headline = (min T_small / min T_big)/(big/small) over "
-            "valid pairs only (declared in BASELINE.md before the run)",
+            "0.95x the leg's core count, measured immediately before AND "
+            "after each leg (round-5: post-leg probe added — a pre-leg "
+            "probe cannot certify a multi-minute leg); headline = "
+            "(min T_small / min T_big)/(big/small) over valid pairs only "
+            "(declared in BASELINE.md before the run)",
             "threshold": 0.95,
             "valid_pair_indices": valid_idx,
             "n_valid": len(valid_idx),
@@ -377,6 +395,7 @@ def main() -> int:
         "pairwise_efficiency": pair_eff,
         "throttled_pairs": throttled,
         "cpu_probe_effective_cores": {str(c): p for c, p in probes.items()},
+        "cpu_probe_post_leg": {str(c): p for c, p in post_probes.items()},
         "cpu_pinned": use_taskset,
         "note": f"sandbox stand-in for N->4N executors (north_rule): same "
         f"flagship dedup job, same input, two RESIDENT JVMs (local[{small}], "
