@@ -40,6 +40,16 @@ class DedupConfig:
 
     # --- verification ---
     jaccard_threshold: float = 0.8
+    # Semi-join-prune the signature table to docs that appear in at least
+    # one candidate pair before the verify joins. Candidate docs are a
+    # small fraction of the corpus (dedup selectivity), so this turns
+    # "shuffle every shingle array in the corpus through a sort-merge
+    # join" into "broadcast a set of ids and probe the signature scan in
+    # place" — measured 60.8 s -> ~4 s for the verify stage at 320k docs
+    # on 4 cores. The broadcast is 8 bytes/candidate-doc (~80 MB at 10M
+    # candidate docs); disable for corpora where candidate docs approach
+    # the corpus itself (the unpruned plan shuffles sigs once instead).
+    verify_prune_candidates: bool = True
 
     # --- skew / scale controls (north_rule: explicit skew handling) ---
     # Buckets larger than this are boilerplate-heavy hot keys; we cap the

@@ -64,6 +64,7 @@ class DedupResult:
         logs spurious 'non-existent accumulator' DAGScheduler errors
         (round-3 VERDICT #1)."""
         self.signatures.unpersist(blocking=True)
+        self.candidates.unpersist(blocking=True)
         self.verified.unpersist(blocking=True)
 
 
@@ -98,6 +99,11 @@ def minhash_dedup(
     else:
         bands = band_table(sigs, cfg)
     cands = candidate_pairs(bands, cfg)
+    if persist_intermediates:
+        # the verify prune traverses cands twice (distinct candidate ids
+        # for the signature semi-join + the pair join itself) — cache the
+        # tiny pair table instead of re-running the bucket shuffle
+        cands = cands.persist()
     verified = verify_pairs(cands, sigs, cfg)
     if persist_intermediates:
         # verified is read >=3 times downstream (the CC size-gate count,

@@ -29,8 +29,33 @@ from pyspark.sql import types as T
 from lsh_forest_for_multi_vector_retrieval_spark.config import DedupConfig
 
 
-def _join_shingles(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Attach each side's shingle set (and simhash when present)."""
+def _join_shingles(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    prune: bool = True,
+) -> DataFrame:
+    """Attach each side's shingle set (and simhash when present).
+
+    With ``prune`` (default), ``docs`` is first semi-joined down to the
+    ids that appear in at least one pair: candidate docs are a small
+    fraction of the corpus, and without the prune the second pair join
+    exceeds the broadcast threshold and SHUFFLES the full signature
+    table's shingle arrays through a sort-merge join (measured: the
+    verify stage was 60.8 s of a 133 s four-core flagship pass at 320k
+    docs — ~0.6 GB of arrays shuffled to verify 10k pairs; pruned: the
+    id set broadcasts and the signature scan is probed in place). The
+    explicit broadcast is bounded at 8 bytes per candidate doc; callers
+    with pathologically dense pair sets disable it via
+    ``DedupConfig.verify_prune_candidates``.
+    """
+    if prune:
+        cand_ids = (
+            pairs.select(F.col("doc_a").alias(id_col))
+            .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
+        docs = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
     cols = ["shingles"] + (["simhash"] if "simhash" in docs.columns else [])
     a = docs.select(
         F.col(id_col).alias("doc_a"), *[F.col(c).alias(f"{c}_a") for c in cols]
@@ -55,7 +80,9 @@ def verify_pairs(
     keep_below_threshold: bool = False,
 ) -> DataFrame:
     """``(doc_a, doc_b, jaccard)`` for pairs with jaccard >= threshold."""
-    joined = _join_shingles(pairs, docs_with_shingles, id_col)
+    joined = _join_shingles(
+        pairs, docs_with_shingles, id_col, prune=cfg.verify_prune_candidates
+    )
     if (
         cfg.simhash_prefilter_max_hamming is not None
         and "simhash_a" in joined.columns
@@ -97,7 +124,9 @@ def verify_pairs_pandas(
     each Arrow batch carries many pairs — group-per-pair would be
     pathological at scale; group-per-salt keeps batches dense.
     """
-    joined = _join_shingles(pairs, docs_with_shingles, id_col).withColumn(
+    joined = _join_shingles(
+        pairs, docs_with_shingles, id_col, prune=cfg.verify_prune_candidates
+    ).withColumn(
         "grp", F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(num_groups))
     )
 

@@ -117,7 +117,9 @@ class IncrementalDedup:
         )
 
         intra = candidate_pairs(new_bands, cfg)
-        cands = intra if hist_hits is None else intra.unionByName(hist_hits).distinct()
+        cands = (
+            intra if hist_hits is None else intra.unionByName(hist_hits).distinct()
+        ).persist()  # verify's candidate prune traverses cands twice
         verified = verify_pairs(cands, all_sigs, cfg)
 
         def _write(df: DataFrame, path: str) -> None:
@@ -132,6 +134,7 @@ class IncrementalDedup:
         _write(verified, self.pairs_path)
         _write(new_bands, self.bands_path)
         _write(sigs, self.sigs_path)
+        cands.unpersist(blocking=True)
         sigs.unpersist(blocking=True)
         new_bands.unpersist(blocking=True)
 
