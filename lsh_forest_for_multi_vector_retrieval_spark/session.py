@@ -43,6 +43,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-partition plans that feed a .persist(): without this a
+        # cached table freezes its pre-AQE partitioning, so the tiny
+        # candidate-pair / verified tables cache in shuffle_partitions
+        # slivers and every downstream action (CC gate count, cluster
+        # count) launches one near-empty task per sliver — measured ~12 s
+        # of latency-bound stages per flagship pass at local[4]
+        # (tools/stage_metrics_probe.py), pure Amdahl floor at any scale
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # larger Arrow batches amortize the IPC syscall cost; per-row UDF
         # kernels keep memory bounded regardless of batch size

@@ -67,6 +67,14 @@ spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=64,
                       # real cluster hosts the driver elsewhere)
                       "spark.executor.heartbeatInterval": "60s",
                       "spark.network.timeout": "1200s",
+                      # the generated corpus lands as 64 small files that
+                      # default 128 MB packing collapses into ~4 splits —
+                      # the CPU-heavy signature scan then runs one task
+                      # per core with no wave balancing and its cache
+                      # inherits the coarse layout. 32 MB splits give the
+                      # narrow legs >=3 waves/core; a real cluster sizes
+                      # this for its own scan:core ratio.
+                      "spark.sql.files.maxPartitionBytes": "33554432",
                   }})
 docs = spark.read.parquet(corpus)
 n = docs.count()
