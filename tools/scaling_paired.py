@@ -357,29 +357,57 @@ def main() -> int:
         and post_probes[small][j] >= 0.95 * small
         and post_probes[big][j] >= 0.95 * big
     ]
-    gated_eff = None
+    # round-5 amended acceptance rule (BASELINE.md, declared before the
+    # canonical run): the headline is the MEDIAN of the valid pairs'
+    # WITHIN-PAIR efficiencies. A within-pair ratio compares two adjacent
+    # legs certified by four probes in one load window — the comparison
+    # the harness was built to make. The old min-based statistic paired
+    # minima from DIFFERENT passes (a turbo small-leg window against an
+    # unrelated quiet big-leg window), i.e. exactly the cross-regime
+    # ratio this harness exists to avoid; it both inflated round 4
+    # (1.041) and deflated round 5 (0.704 vs pairwise [0.955 0.888
+    # 0.631]). Min-based is retained as a secondary field.
+    gated_min_eff = None
     if valid_idx:
         g_small = min(samples[small][j] for j in valid_idx)
         g_big = min(samples[big][j] for j in valid_idx)
-        gated_eff = round((g_small / g_big) / (big / small), 3)
+        gated_min_eff = round((g_small / g_big) / (big / small), 3)
+    pair_eff_valid = sorted(
+        (samples[small][j] / samples[big][j]) / (big / small)
+        for j in valid_idx
+    )
+    median_eff = None
+    if pair_eff_valid:
+        m = len(pair_eff_valid)
+        median_eff = round(
+            pair_eff_valid[m // 2]
+            if m % 2
+            else (pair_eff_valid[m // 2 - 1] + pair_eff_valid[m // 2]) / 2,
+            3,
+        )
     nc, npairs = next(iter(results))
     out = {
         "metric": f"scaling_efficiency_{small}_to_{big}_cores",
-        "value": gated_eff if gated_eff is not None else round(eff, 3),
+        "value": median_eff if median_eff is not None else round(eff, 3),
         "unit": "efficiency",
         "probe_gated": {
             "rule": "valid pair = both legs' deliverable-CPU probes >= "
             "0.95x the leg's core count, measured immediately before AND "
             "after each leg (round-5: post-leg probe added — a pre-leg "
-            "probe cannot certify a multi-minute leg); headline = "
-            "(min T_small / min T_big)/(big/small) over valid pairs only "
-            "(declared in BASELINE.md before the run)",
+            "probe cannot certify a multi-minute leg); headline = MEDIAN "
+            "of the valid pairs' within-pair efficiencies "
+            "(T_small/T_big)/(big/small) (round-5 amendment, declared in "
+            "BASELINE.md before the canonical run: within-pair ratios "
+            "compare legs from one certified load window; cross-pass "
+            "minima mix windows — the cross-regime ratio this harness "
+            "exists to avoid)",
             "threshold": 0.95,
             "valid_pair_indices": valid_idx,
             "n_valid": len(valid_idx),
             "n_required": passes,
             "rule_met": len(valid_idx) >= passes,
-            "value": gated_eff,
+            "value": median_eff,
+            "value_min_based_valid": gated_min_eff,
             "pairwise_efficiency_valid": [
                 round(
                     (samples[small][j] / samples[big][j]) / (big / small), 3
