@@ -71,10 +71,13 @@ spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=64,
                       # default 128 MB packing collapses into ~4 splits —
                       # the CPU-heavy signature scan then runs one task
                       # per core with no wave balancing and its cache
-                      # inherits the coarse layout. 32 MB splits give the
-                      # narrow legs >=3 waves/core; a real cluster sizes
-                      # this for its own scan:core ratio.
-                      "spark.sql.files.maxPartitionBytes": "33554432",
+                      # inherits the coarse layout. 16 MB splits give the
+                      # narrow legs ~6 waves/core (32 MB yielded 13 splits
+                      # = 3 full waves + a lone straggler task idling 3 of
+                      # 4 cores for a quarter of the stage — measured 0.91
+                      # stage utilization); a real cluster sizes this for
+                      # its own scan:core ratio.
+                      "spark.sql.files.maxPartitionBytes": "16777216",
                   }})
 docs = spark.read.parquet(corpus)
 n = docs.count()
@@ -293,10 +296,22 @@ def main() -> int:
                 # pre-leg probe cannot certify a multi-minute leg — round-4
                 # committed 1-core legs with clean pre-probes that ran
                 # 1.8-2.4x the pinned quiet minimum (mid-leg throttle).
-                # Settle 8 s first so the probe doesn't contend with the
-                # worker JVM's own wind-down on the same pinned cores.
-                time.sleep(8.0)
+                # Post-leg delivery = MAX of two probes ~12 s and ~27 s
+                # after the leg returns. A single instant probe reads the
+                # worker JVM's own asynchronous wind-down (unpersist block
+                # eviction + ContextCleaner shuffle deletion on the same
+                # pinned cores) — at 320k docs that outlives the original
+                # 8 s settle and was voiding pairs whose LEGS ran at their
+                # quiet minima (canonical-run passes 2-5: legs 62-70 s /
+                # 195-199 s, post-probes 0.66-0.94 and 3.2-3.7). A real
+                # substrate cap persists across both samples; wind-down
+                # recovers by the second. The acceptance rule itself
+                # (pre+post >= 0.95x cores) is unchanged.
+                time.sleep(12.0)
                 post = _cpu_probe(cpus, cpu_set=cpu_set)
+                if post < 0.95 * cpus:
+                    time.sleep(15.0)
+                    post = max(post, _cpu_probe(cpus, cpu_set=cpu_set))
                 post_probes[cpus].append(post)
                 print(
                     f"pass {i} local[{cpus}]: {sec}s "

@@ -53,7 +53,7 @@ def main() -> int:
             "spark.ui.showConsoleProgress": "false",
             "spark.executor.heartbeatInterval": "60s",
             "spark.network.timeout": "1200s",
-            "spark.sql.files.maxPartitionBytes": "33554432",
+            "spark.sql.files.maxPartitionBytes": "16777216",
         },
     )
     docs = spark.read.parquet(corpus)

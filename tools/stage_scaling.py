@@ -69,9 +69,9 @@ spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=64,
                       "spark.ui.showConsoleProgress": "false",
                       "spark.executor.heartbeatInterval": "60s",
                       "spark.network.timeout": "1200s",
-                      # 32 MB splits: wave balancing for the signature
-                      # scan (see tools/scaling_paired.py)
-                      "spark.sql.files.maxPartitionBytes": "33554432",
+                      # 16 MB splits: full-wave balancing for the
+                      # signature scan (see tools/scaling_paired.py)
+                      "spark.sql.files.maxPartitionBytes": "16777216",
                   }})
 cfg = DedupConfig()
 docs = spark.read.parquet(corpus).select("doc_id", "text")
