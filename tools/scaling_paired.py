@@ -457,8 +457,14 @@ def main() -> int:
         "(VM caps total deliverable CPU -> ratio collapses, no signal)",
     }
     text = json.dumps(out, indent=2)
-    Path(ROOT / "BENCH_SCALING.json").write_text(text)
-    Path(ROOT / f"BENCH_SCALING_{small}v{big}.json").write_text(text)
+    # SPARK_GRAFT_SCALING_OUT redirects the artifact (confirmation runs at
+    # other corpus sizes must not clobber the canonical BENCH_SCALING.json).
+    out_override = os.environ.get("SPARK_GRAFT_SCALING_OUT")
+    if out_override:
+        Path(ROOT / out_override).write_text(text)
+    else:
+        Path(ROOT / "BENCH_SCALING.json").write_text(text)
+        Path(ROOT / f"BENCH_SCALING_{small}v{big}.json").write_text(text)
     print(json.dumps(out))
     return 0
 
