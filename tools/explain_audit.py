@@ -138,22 +138,30 @@ def main() -> int:
         "InMemoryTableScan" in flag or "InMemoryRelation" in flag,
     )
     # formatted explain re-prints cached/AQE subplans under every
-    # reference — count UNIQUE physical node ids, shuffles separately
-    # from (cheap) broadcast exchanges
+    # reference AND prints each AQE subplan twice (== Final Plan == and
+    # == Initial Plan ==, distinct node ids for the same physical
+    # shuffle — since round-5's canChangeCachedPlanOutputPartitioning,
+    # cached subtrees wrap in AdaptiveSparkPlan and the Initial copies
+    # would double-count). Count the shuffles that actually RAN: unique
+    # materialized ShuffleQueryStage ids (the plan is captured after an
+    # action, so every executed exchange has one). Broadcast exchanges
+    # counted separately (cheap by construction).
     import re as _re
 
-    shuffle_ids = set(_re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", flag))
+    shuffle_ids = set(_re.findall(r"ShuffleQueryStage \((\d+)\)", flag))
     bcast_ids = set(_re.findall(r"BroadcastExchange \((\d+)\)", flag))
     check(
         "flagship shuffle count is bounded",
         len(shuffle_ids) <= 8,
-        f"{len(shuffle_ids)} unique shuffle Exchanges + {len(bcast_ids)} "
-        "broadcast exchanges (signature repartition, salted bucket "
-        "stage-1 groupBy + tiny pre-capped stage-2 merge, pair distinct, "
-        "verify-join sides, CC label shuffle; AQE may replace join sides "
-        "with broadcasts at small sf). Round-4: +1 small shuffle by "
-        "design — the two-stage salted bucket cap that bounds collect_set "
-        "memory by bucket/salt (pairs.py::bucket_ids_capped)",
+        f"{len(shuffle_ids)} materialized ShuffleQueryStages + "
+        f"{len(bcast_ids)} broadcast-exchange node ids (signature "
+        "repartition, salted bucket stage-1 groupBy + tiny pre-capped "
+        "stage-2 merge, pair distinct, CC label shuffle; the round-5 "
+        "verify semi-join prune replaced the corpus-wide verify-join "
+        "shuffle with broadcast probes, so the heavy verify Exchange is "
+        "gone). Round-4: +1 small shuffle by design — the two-stage "
+        "salted bucket cap that bounds collect_set memory by bucket/salt "
+        "(pairs.py::bucket_ids_capped)",
     )
     pr = sections[1][1]
     check("filter pushed to parquet scan", "PushedFilters" in pr and "lang" in pr)
