@@ -351,14 +351,19 @@ def run_headline() -> dict:
     where the deliverable-CPU probe reads >= SPARK_GRAFT_PROBE_GATE
     (default 0.90) x CPUS; SPARK_GRAFT_BENCH_PASSES (default 2) passes
     alternate across windows and the recorded per-query number is the
-    minimum over GATE-VALID passes only. A sample taken in a throttled
-    window can no longer masquerade as engine performance: if no pass
-    clears the gate within patience, the artifact says so
+    minimum over GATE-VALID passes only — a pass is gate-valid only if
+    the probe clears the gate immediately BEFORE and immediately AFTER
+    it (a pre-pass probe alone cannot certify a multi-minute pass; same
+    post-leg discipline as tools/scaling_paired.py). A sample taken in a
+    throttled window can no longer masquerade as engine performance: if
+    no pass clears both gates within patience, the artifact says so
     (probe_gate_met=false) instead of silently under-reporting.
     Evidence-discipline analog: /root/reference/src/shared/test_query.py:191."""
     gate_frac = float(os.environ.get("SPARK_GRAFT_PROBE_GATE", "0.90"))
     patience = float(os.environ.get("SPARK_GRAFT_QUIET_PATIENCE", "480"))
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    # clamp: 0/negative would skip every pass and IndexError after minutes
+    # of warm-up, with no JSON line for the driver to parse
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     gate = gate_frac * CPUS
 
     spark = _spark(CPUS)
@@ -375,10 +380,21 @@ def run_headline() -> dict:
         # MRR oracle on pass 0 only: uncounted, expensive, deterministic
         rec = _suite_pass(spark, docs, reps=2, compute_mrr=(i == 0))
         rec["probe"] = probe
+        # post-pass probe (same discipline as tools/scaling_paired.py's
+        # post-leg probes): a pre-pass reading cannot certify a multi-
+        # minute pass — the hypervisor can cap the VM 30 s in and every
+        # timing after that is throttled while the pre-probe still says
+        # quiet. A pass counts only if the window reads quiet on BOTH ends.
+        rec["probe_post"] = _delivery_probe_subproc(CPUS)
         passes.append(rec)
-        _log(f"pass {i + 1} done: {round(sum(rec['timings'].values()), 1)}s summed")
+        _log(
+            f"pass {i + 1} done: {round(sum(rec['timings'].values()), 1)}s "
+            f"summed (post-probe {rec['probe_post']}/{CPUS})"
+        )
 
-    valid = [p for p in passes if p["probe"] >= gate]
+    valid = [
+        p for p in passes if p["probe"] >= gate and p["probe_post"] >= gate
+    ]
     used = valid if valid else passes
     query_names = list(used[0]["timings"].keys())
     timings = {
@@ -399,12 +415,16 @@ def run_headline() -> dict:
         "plaid_qps": best_plaid["plaid_qps"],
         "plaid_mrr10_vs_exact_top1": mrr,
         "cpus": CPUS,
-        # probe that released each counted pass (pre-pass, not post-suite):
-        # every number above was measured in a window whose deliverable-CPU
-        # reading is listed here. probe_gate_met=false marks a sample the
-        # gate never released — read it as substrate, not engine.
-        "cpu_delivery_probe": max(p["probe"] for p in used),
+        # probes bracketing each counted pass: every number above was
+        # measured in a window whose deliverable-CPU reading cleared the
+        # gate BOTH immediately before and immediately after the pass.
+        # probe_gate_met=false marks a sample no window certified — read
+        # it as substrate, not engine.
+        "cpu_delivery_probe": max(
+            min(p["probe"], p["probe_post"]) for p in used
+        ),
         "pass_probes": [p["probe"] for p in passes],
+        "pass_probes_post": [p["probe_post"] for p in passes],
         "probe_gate": round(gate, 2),
         "probe_gate_met": bool(valid),
         "passes_counted": len(used),

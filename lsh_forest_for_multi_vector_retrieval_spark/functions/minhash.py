@@ -37,16 +37,23 @@ def minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     """Seeded (A, B) permutation parameters; A odd and nonzero.
 
     Growth-stable (round-4 ADVICE): the first ``PARAM_BLOCK`` pairs are
-    always drawn as one fixed 128-wide block (all A, then all B — the
-    historical layout, so every persisted signature, committed fixture,
-    and recall artifact keeps its exact hash family), and permutations
-    BEYOND the block are drawn pairwise-interleaved, one (a_i, b_i) per
-    index. Consequence: growing ``num_perm`` (e.g. ``use_adaptive_bands``
-    extending signature_len 128 -> 160) never changes the first 128
-    parameters — base-band signatures in persisted stores
-    (streaming/incremental state, resumable checkpoints) stay valid, and
-    fixed-vs-adaptive A/Bs compare the same base family. The pre-fix
-    layout re-drew every B on growth, silently invalidating them."""
+    always drawn as one fixed 128-wide block (all A, then all B), and
+    permutations BEYOND the block are drawn pairwise-interleaved, one
+    (a_i, b_i) per index. The invariant is PREFIX STABILITY for every
+    width: ``minhash_params(m)`` is exactly the first m pairs of
+    ``minhash_params(n)`` for any m <= n (both sliced from the same
+    always-fully-drawn block, then per-index beyond it), so growing
+    ``num_perm`` (e.g. ``use_adaptive_bands`` extending signature_len
+    128 -> 160, or 64 -> 96) never changes existing parameters —
+    base-band signatures in persisted stores (streaming/incremental
+    state, resumable checkpoints) stay valid, and fixed-vs-adaptive
+    A/Bs compare the same base family. Compatibility note: at the
+    canonical ``num_perm >= 128`` this reproduces the historical
+    all-A-then-all-B draw bit-exactly (every committed fixture and
+    recall artifact keeps its hash family); a pre-round-5 store built
+    with a NON-default ``num_perm < 128`` used B values drawn at a
+    different stream offset and must be re-signed (none exist in this
+    repo — guarded by tests/test_signatures.py prefix-stability)."""
     rng = np.random.RandomState(seed)
     p = (1 << 61) - 1
     head = min(num_perm, PARAM_BLOCK)

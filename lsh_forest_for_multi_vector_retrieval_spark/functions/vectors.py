@@ -58,20 +58,117 @@ def hamming_col(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _stack_pair_batch(
+    a: pd.Series, b: pd.Series
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Stack an ``(array, array)`` Arrow batch into two dense matrices,
+    tolerating null and ragged rows. Returns ``(valid_mask, null_mask,
+    ma, mb)`` where ``ma``/``mb`` cover only the valid rows. Bad rows
+    must DEGRADE exactly like the fold path, not crash the task, and the
+    fold distinguishes the two failure shapes: a NULL input array makes
+    the whole fold NULL (``dot_col`` scores NULL; ``cosine_col``'s
+    ``when(denom > 0)`` condition is then NULL and the ``otherwise(0.0)``
+    catches it — cosine scores 0.0), while a ragged length mismatch
+    null-pads ``zip_with`` so the dot folds to NULL but the norms stay
+    finite — both score NULL. Never substitute NaN for NULL: Spark
+    orders NaN ABOVE every number, so a NaN score would pass a
+    ``score >= threshold`` filter that a NULL correctly fails."""
+    arrs_a = [None if x is None else np.asarray(x, dtype=np.float64) for x in a]
+    arrs_b = [None if x is None else np.asarray(x, dtype=np.float64) for x in b]
+    null = np.array(
+        [x is None or y is None for x, y in zip(arrs_a, arrs_b)], dtype=bool
+    )
+    valid = np.array(
+        [
+            x is not None and y is not None and x.shape == y.shape
+            for x, y in zip(arrs_a, arrs_b)
+        ],
+        dtype=bool,
+    )
+    if not valid.any():
+        return valid, null, np.empty((0, 0)), np.empty((0, 0))
+    ma = np.stack([x for x, ok in zip(arrs_a, valid) if ok])
+    mb = np.stack([y for y, ok in zip(arrs_b, valid) if ok])
+    return valid, null, ma, mb
+
+
+def _scatter_valid(
+    valid: np.ndarray, vals: np.ndarray, null_fill: np.ndarray | None = None
+) -> pd.Series:
+    """Scores back into batch order; invalid rows become SQL NULL (object
+    dtype carries real None through Arrow, unlike float NaN) — except
+    rows flagged in ``null_fill``, which take 0.0 (cosine's
+    ``otherwise(0.0)`` convention for NULL inputs)."""
+    out = np.full(len(valid), None, dtype=object)
+    out[valid] = [float(v) for v in vals]
+    if null_fill is not None:
+        out[null_fill & ~valid] = 0.0
+    return pd.Series(out, dtype=object)
+
+
+def centroid_scores_arr(centroids: list[list[float]], vec_col: str) -> Column:
+    """Per-centroid dot scores of ``vec_col`` against a LITERAL codebook,
+    as an array of ``struct(s, negcid, cid)`` — no join, no shuffle, no
+    row explosion. The struct ordering (score desc via array_max/sort,
+    ties toward the LOWEST centroid id via ``negcid``) is the single
+    tie-break rule shared by every argmax consumer: ``array_max(...)``
+    ["cid"] is the nearest cell, ``reverse(array_sort(...))`` the probe
+    order. Single home for the kernel duplicated by plaid.centroid_index
+    and ann.ivf_topk pre-round-5."""
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(float(v)) for v in c]).alias("cv"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(
+        cents_lit,
+        lambda c: F.struct(
+            dot_col(F.col(vec_col), c["cv"]).alias("s"),
+            (-c["cid"]).alias("negcid"),
+            c["cid"].alias("cid"),
+        ),
+    )
+
+
+def nearest_centroid_pandas_udf(centroids: list[list[float]]):
+    """Arrow-batched GEMM + argmax nearest-centroid assignment — the
+    production sibling of ``array_max(centroid_scores_arr(...))["cid"]``.
+    ``np.argmax`` takes the FIRST max, i.e. ties go to the lowest
+    centroid id — the same rule as the fold path's struct ordering
+    (ulp-level GEMM reduction-order variance can still flip an EXACT
+    score tie, so fixture-oracle comparisons keep the fold)."""
+    cmat = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def _cell_pd(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # np.stack raises on an empty Arrow batch
+            return pd.Series([], dtype="int64")
+        m = np.stack(v.map(lambda a: np.asarray(a, dtype=np.float64)))
+        return pd.Series(np.argmax(m @ cmat.T, axis=1))
+
+    return _cell_pd
+
+
 def dot_pandas_udf():
     """Arrow-batched exact dot product over ``(array, array)`` row pairs —
     the plain-dot sibling of :func:`cosine_pandas_udf`, used by the PLAID
     interaction scorer's ``scoring="pandas"`` production path (the
     centroid-score and exact-rerank stages are max-sum-of-DOTS, not
-    cosine)."""
+    cosine). Null/ragged rows score NULL, matching the fold path."""
 
     @pandas_udf("double")
     def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
         if len(a) == 0:
             return pd.Series([], dtype="float64")
-        ma = np.stack(a.map(lambda x: np.asarray(x, dtype=np.float64)))
-        mb = np.stack(b.map(lambda x: np.asarray(x, dtype=np.float64)))
-        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+        valid, _null, ma, mb = _stack_pair_batch(a, b)
+        if valid.all():
+            return pd.Series(np.einsum("ij,ij->i", ma, mb))
+        vals = np.einsum("ij,ij->i", ma, mb) if len(ma) else np.empty(0)
+        return _scatter_valid(valid, vals)
 
     return _dot
 
@@ -80,20 +177,27 @@ def cosine_pandas_udf():
     """Arrow-batched exact cosine over ``(array, array)`` row pairs —
     one vectorized einsum per Arrow batch instead of an interpreted
     HOF fold per element. Same zero-denominator convention as
-    ``cosine_col`` (returns 0.0). Production scoring path for the ANN
-    re-rank family (``scoring="pandas"``)."""
+    ``cosine_col`` (returns 0.0); NULL-input rows score 0.0 and ragged
+    rows score NULL — exactly the fold path's behavior (see
+    ``_stack_pair_batch``). Production scoring path for the ANN re-rank
+    family (``scoring="pandas"``)."""
 
-    @pandas_udf("double")
-    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        if len(a) == 0:
-            return pd.Series([], dtype="float64")
-        ma = np.stack(a.map(lambda x: np.asarray(x, dtype=np.float64)))
-        mb = np.stack(b.map(lambda x: np.asarray(x, dtype=np.float64)))
+    def _cos_dense(ma: np.ndarray, mb: np.ndarray) -> np.ndarray:
         num = np.einsum("ij,ij->i", ma, mb)
         den = np.sqrt(np.einsum("ij,ij->i", ma, ma)) * np.sqrt(
             np.einsum("ij,ij->i", mb, mb)
         )
         safe = np.where(den > 0, den, 1.0)
-        return pd.Series(np.where(den > 0, num / safe, 0.0))
+        return np.where(den > 0, num / safe, 0.0)
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        valid, null, ma, mb = _stack_pair_batch(a, b)
+        if valid.all():
+            return pd.Series(_cos_dense(ma, mb))
+        vals = _cos_dense(ma, mb) if len(ma) else np.empty(0)
+        return _scatter_valid(valid, vals, null_fill=null)
 
     return _cos

@@ -333,7 +333,10 @@ def ivf_topk(
     Reference analog: DESCEND + collect + exact re-rank
     (lsh_forest.py:76-108) with k-means cells instead of hash prefixes.
     """
-    from lsh_forest_for_multi_vector_retrieval_spark.functions.vectors import dot_col
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.vectors import (
+        centroid_scores_arr,
+        nearest_centroid_pandas_udf,
+    )
     from lsh_forest_for_multi_vector_retrieval_spark.operators.plaid import (
         sample_codebook,
     )
@@ -347,25 +350,10 @@ def ivf_topk(
             corpus, k=n_centroids, iters=iters, sample_limit=sample_limit,
             vec_col=vec_col, id_col=id_col,
         )
-    cents_lit = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cid"),
-                F.array(*[F.lit(float(v)) for v in c]).alias("cv"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    # per-vector cell scores: struct order (s, -cid) makes max/sort break
-    # ties toward the LOWEST centroid id, matching the fixture emulation
-    scored_arr = F.transform(
-        cents_lit,
-        lambda c: F.struct(
-            dot_col(F.col(vec_col), c["cv"]).alias("s"),
-            (-c["cid"]).alias("negcid"),
-            c["cid"].alias("cid"),
-        ),
-    )
+    # shared kernel (functions.vectors): struct order (s, -cid) makes
+    # max/sort break ties toward the LOWEST centroid id, matching the
+    # fixture emulation
+    scored_arr = centroid_scores_arr(centroids, vec_col)
     cell = F.array_max(scored_arr)["cid"]
     probe_cells = F.transform(
         F.slice(F.reverse(F.array_sort(scored_arr)), 1, nprobe),
@@ -373,20 +361,7 @@ def ivf_topk(
     )
 
     if assignment == "pandas":
-        from pyspark.sql.functions import pandas_udf
-
-        cmat = np.asarray(centroids, dtype=np.float64)
-
-        @pandas_udf("int")
-        def _cell_pd(v: pd.Series) -> pd.Series:
-            if len(v) == 0:  # np.stack raises on an empty Arrow batch
-                return pd.Series([], dtype="int64")
-            m = np.stack(v.map(lambda a: np.asarray(a, dtype=np.float64)))
-            # argmax takes the FIRST max — ties to the lowest centroid id,
-            # same rule as the fold path's struct ordering
-            return pd.Series(np.argmax(m @ cmat.T, axis=1))
-
-        cell = _cell_pd(F.col(vec_col))
+        cell = nearest_centroid_pandas_udf(centroids)(F.col(vec_col))
     c_cells = corpus.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),

@@ -23,7 +23,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from lsh_forest_for_multi_vector_retrieval_spark.functions.vectors import dot_col
+from lsh_forest_for_multi_vector_retrieval_spark.functions.vectors import (
+    centroid_scores_arr,
+    dot_col,
+    nearest_centroid_pandas_udf,
+)
 
 
 def build_centroids(
@@ -167,26 +171,10 @@ def nearest_centroid_col(centroids: list[list[float]], vec_col: str) -> "F.Colum
     """Nearest-centroid (max dot, ties to lowest id) as ONE projection
     expression over a LITERAL codebook — no join, no shuffle, no row
     explosion. Same fold arithmetic as the old crossJoin scoring
-    (``dot_col``), so assignments are bit-identical; shared shape with
+    (``dot_col``), so assignments are bit-identical. The kernel lives in
+    ``functions.vectors.centroid_scores_arr`` — single home shared with
     ``ann.ivf_topk``'s cell assignment."""
-    cents_lit = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cid"),
-                F.array(*[F.lit(float(v)) for v in c]).alias("cv"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    scored_arr = F.transform(
-        cents_lit,
-        lambda c: F.struct(
-            dot_col(F.col(vec_col), c["cv"]).alias("s"),
-            (-c["cid"]).alias("negcid"),
-            c["cid"].alias("cid"),
-        ),
-    )
-    return F.array_max(scored_arr)["cid"]
+    return F.array_max(centroid_scores_arr(centroids, vec_col))["cid"]
 
 
 def centroid_index(
@@ -224,18 +212,7 @@ def centroid_index(
     ):
         raise ValueError("centroid_id must be dense 0..k-1")
     if assignment == "pandas":
-        from pyspark.sql.functions import pandas_udf
-
-        cmat = np.asarray(codebook, dtype=np.float64)
-
-        @pandas_udf("int")
-        def _cell_pd(v: pd.Series) -> pd.Series:
-            if len(v) == 0:
-                return pd.Series([], dtype="int64")
-            m = np.stack(v.map(lambda a: np.asarray(a, dtype=np.float64)))
-            return pd.Series(np.argmax(m @ cmat.T, axis=1))
-
-        cell = _cell_pd(F.col(vec_col))
+        cell = nearest_centroid_pandas_udf(codebook)(F.col(vec_col))
     else:
         cell = nearest_centroid_col(codebook, vec_col)
     return (

@@ -11,9 +11,11 @@ each micro-batch computes band rows, joins them against the persisted
 band table (the "trie so far"), verifies collisions exactly, appends
 verified pairs + its own band rows. State lives in parquet tables, not
 executor memory, so restarts are trivial (checkpointLocation + the table
-itself) and the pattern scales to any history size — the join against
-history is a standard shuffle join on (band_id, band_hash) that AQE
-handles like the batch case.
+itself) and the pattern scales to any history size — a normal-sized
+micro-batch is BROADCAST against the history (no per-batch history
+re-shuffle); an oversized batch (restart over a backlog) falls back to
+the shuffle join automatically, and ``maxFilesPerTrigger`` bounds how
+much a backlog can deliver per batch in the first place.
 """
 
 from __future__ import annotations
@@ -31,16 +33,22 @@ from lsh_forest_for_multi_vector_retrieval_spark.operators.bands import (
 from lsh_forest_for_multi_vector_retrieval_spark.operators.verify import verify_pairs
 
 
-def history_collisions(new_bands: DataFrame, old_bands: DataFrame) -> DataFrame:
+def history_collisions(
+    new_bands: DataFrame, old_bands: DataFrame, broadcast: bool = True
+) -> DataFrame:
     """Candidate pairs of new docs vs history: the micro-batch band rows
     (small, bounded by the trigger) are BROADCAST and the persisted band
     history is PROBED — a broadcast hash join with no Exchange on the
     history side. The previous shuffle join re-partitioned the ENTIRE
     history every micro-batch, a cost that grows without bound with
     stream lifetime (round-4 VERDICT #5). Plan-asserted in
-    tests/test_streaming.py. Pairs are canonical (doc_a < doc_b, history
-    ids sort below new ids by arrival); caller applies distinct() after
-    unioning with intra-batch pairs.
+    tests/test_streaming.py. ``broadcast=False`` keeps the shuffle join —
+    the caller's escape hatch for an OVERSIZED batch (e.g. a restart over
+    an accumulated backlog delivered as one batch), where force-broadcast
+    would blow Spark's 8 GB broadcast-table limit; ``process_batch``
+    flips it automatically past ``broadcast_max_band_rows``. Pairs are
+    canonical (doc_a < doc_b, history ids sort below new ids by arrival);
+    caller applies distinct() after unioning with intra-batch pairs.
 
     Reference analog: incremental insert threading new vectors into an
     EXISTING trie (/root/reference/src/shared/lsh_forest.py:66-70) — the
@@ -52,7 +60,7 @@ def history_collisions(new_bands: DataFrame, old_bands: DataFrame) -> DataFrame:
         "band_id", "band_hash", F.col("doc_id").alias("new_doc")
     )
     return (
-        o.join(F.broadcast(n), ["band_id", "band_hash"])
+        o.join(F.broadcast(n) if broadcast else n, ["band_id", "band_hash"])
         .select(
             F.least("old_doc", "new_doc").alias("doc_a"),
             F.greatest("old_doc", "new_doc").alias("doc_b"),
@@ -70,9 +78,26 @@ class IncrementalDedup:
     checkpoint).
     """
 
-    def __init__(self, state_dir: str, cfg: DedupConfig = DedupConfig()):
+    #: band rows above which the micro-batch is too big to broadcast
+    #: against history and the shuffle join is used instead. 2M rows of
+    #: (int, long, long) is ~10s of MB serialized — comfortably inside
+    #: the broadcast limit; a backlog-restart batch of 10M docs x 16
+    #: bands = 160M rows is not.
+    BROADCAST_MAX_BAND_ROWS = 2_000_000
+
+    def __init__(
+        self,
+        state_dir: str,
+        cfg: DedupConfig = DedupConfig(),
+        broadcast_max_band_rows: int | None = None,
+    ):
         self.state = Path(state_dir)
         self.cfg = cfg
+        self.broadcast_max_band_rows = (
+            self.BROADCAST_MAX_BAND_ROWS
+            if broadcast_max_band_rows is None
+            else broadcast_max_band_rows
+        )
         self.bands_path = str(self.state / "bands")
         self.sigs_path = str(self.state / "sigs")
         self.pairs_path = str(self.state / "pairs")
@@ -104,8 +129,14 @@ class IncrementalDedup:
                 F.col("batch_id") != batch_id
             ).drop("batch_id")
             # collisions of new docs vs history: micro-batch side broadcast,
-            # history probed in place (no per-batch history re-shuffle)
-            hist_hits = history_collisions(new_bands, old_bands).distinct()
+            # history probed in place (no per-batch history re-shuffle) —
+            # unless the batch itself is oversized (backlog restart), where
+            # the shuffle join is the one that survives. count() is free
+            # here: new_bands is persisted and consumed below regardless.
+            small = new_bands.count() <= self.broadcast_max_band_rows
+            hist_hits = history_collisions(
+                new_bands, old_bands, broadcast=small
+            ).distinct()
             all_sigs = old_sigs.unionByName(sigs)
         else:
             hist_hits = None
@@ -139,9 +170,21 @@ class IncrementalDedup:
         new_bands.unpersist(blocking=True)
 
     # -- streaming wiring ----------------------------------------------------
-    def start(self, spark: SparkSession, input_dir: str, schema: str | None = None):
+    def start(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        schema: str | None = None,
+        max_files_per_trigger: int = 64,
+    ):
+        # maxFilesPerTrigger bounds what a backlog can deliver per batch:
+        # availableNow honors it by draining the backlog as MULTIPLE
+        # batches, so a restart over accumulated files never hands
+        # process_batch one giant micro-batch (and each batch stays under
+        # the broadcast threshold in the common case)
         stream = (
             spark.readStream.schema(schema or "doc_id long, text string")
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
             .parquet(input_dir)
         )
         return (

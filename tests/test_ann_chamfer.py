@@ -471,3 +471,56 @@ def test_near_dup_pairs_signature_computed_once(spark, embeddings):
     out = embedding_near_dup_pairs(embeddings, min_cosine=0.9)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_pandas_scoring_null_and_ragged_rows_score_null(spark):
+    """Round-5 self-review: the Arrow kernels must DEGRADE like the fold
+    on bad rows, not crash the task. The fold's two failure shapes
+    differ: a NULL input array makes dot_col fold to NULL and makes
+    cosine_col's when(denom > 0) condition NULL, so the otherwise(0.0)
+    catches it — cosine 0.0, dot NULL; a ragged length mismatch
+    null-pads zip_with so the dot folds to NULL while the norms stay
+    finite — cosine NULL, dot NULL. Crucially NULL and never NaN: Spark
+    orders NaN above every number, so a NaN score would PASS a
+    `score >= threshold` filter that a NULL (or 0.0) correctly fails."""
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.vectors import (
+        cosine_col,
+        cosine_pandas_udf,
+        dot_pandas_udf,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], [1.0, 0.0]),   # clean
+            (1, None, [1.0, 0.0]),         # null left
+            (2, [1.0, 0.0], None),         # null right
+            (3, [1.0, 0.0, 2.0], [1.0, 0.0]),  # ragged
+            (4, [0.0, 0.0], [0.0, 0.0]),   # zero denom -> 0.0, not null
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    got = (
+        df.select(
+            "id",
+            cosine_pandas_udf()(F.col("a"), F.col("b")).alias("cos_pd"),
+            dot_pandas_udf()(F.col("a"), F.col("b")).alias("dot_pd"),
+            cosine_col(F.col("a"), F.col("b")).alias("cos_fold"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    for r in got:
+        # pandas path agrees with the fold row-for-row, including NULLs
+        assert (r.cos_pd is None) == (r.cos_fold is None), r
+        if r.cos_pd is not None:
+            assert abs(r.cos_pd - r.cos_fold) < 1e-12, r
+    assert got[0].cos_pd == pytest.approx(1.0)
+    assert got[1].cos_pd == 0.0 and got[1].dot_pd is None  # null left
+    assert got[2].cos_pd == 0.0 and got[2].dot_pd is None  # null right
+    assert got[3].cos_pd is None and got[3].dot_pd is None  # ragged
+    assert got[4].cos_pd == 0.0  # zero-denominator convention kept
+    # and the bad rows fail a threshold filter instead of passing as NaN
+    kept = df.select(
+        "id", cosine_pandas_udf()(F.col("a"), F.col("b")).alias("s")
+    ).where(F.col("s") >= 0.5)
+    assert [r.id for r in kept.collect()] == [0]

@@ -84,3 +84,51 @@ def test_history_join_broadcasts_microbatch_side(spark):
     # semantics: canonical pairs, new ids on the b side by construction
     rows = out.collect()
     assert rows and all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_oversized_batch_falls_back_to_shuffle_join(spark, tmp_path):
+    """Round-5 self-review: force-broadcasting the micro-batch is only
+    safe while the batch is small — a restart over a backlog can deliver
+    a batch whose band rows would blow the 8 GB broadcast-table limit.
+    Past `broadcast_max_band_rows` process_batch must flip to the shuffle
+    join (no forced broadcast of the new side) and still find the same
+    pairs."""
+    from lsh_forest_for_multi_vector_retrieval_spark.streaming.incremental import (
+        history_collisions,
+    )
+
+    old = spark.range(1000).selectExpr(
+        "cast(id % 16 as int) as band_id", "id * 7 as band_hash", "id as doc_id"
+    )
+    new = spark.range(200).selectExpr(
+        "cast(id % 16 as int) as band_id",
+        "id * 7 as band_hash",
+        "id + 1000000 as doc_id",
+    )
+    a = {(r.doc_a, r.doc_b) for r in history_collisions(new, old, broadcast=True).collect()}
+    b = {(r.doc_a, r.doc_b) for r in history_collisions(new, old, broadcast=False).collect()}
+    assert a == b and a
+
+    # end-to-end: a threshold of 0 band rows classes EVERY batch as
+    # oversized — the incremental result must be unchanged
+    pages = generate_pages(
+        spark, n_clusters=6, cluster_size=3, n_singletons=20, seed=27
+    ).select("doc_id", "text").persist()
+    half_a = pages.where(F.col("doc_id") % 2 == 0)
+    half_b = pages.where(F.col("doc_id") % 2 == 1)
+
+    inc_bc = IncrementalDedup(str(tmp_path / "bc"), CFG)
+    inc_sh = IncrementalDedup(str(tmp_path / "sh"), CFG, broadcast_max_band_rows=0)
+    for inc in (inc_bc, inc_sh):
+        inc.process_batch(half_a, 0)
+        inc.process_batch(half_b, 1)
+    got_bc = {
+        (r.doc_a, r.doc_b)
+        for r in inc_bc.pairs(spark).select("doc_a", "doc_b").distinct().collect()
+    }
+    got_sh = {
+        (r.doc_a, r.doc_b)
+        for r in inc_sh.pairs(spark).select("doc_a", "doc_b").distinct().collect()
+    }
+    pages.unpersist()
+    assert got_bc == got_sh

@@ -152,7 +152,11 @@ def main() -> int:
     bcast_ids = set(_re.findall(r"BroadcastExchange \((\d+)\)", flag))
     check(
         "flagship shuffle count is bounded",
-        len(shuffle_ids) <= 8,
+        # non-vacuousness guard: zero ShuffleQueryStages means the plan
+        # was captured before an action or with AQE off — the count
+        # would pass trivially while guarding nothing. The flagship
+        # provably shuffles (pair distinct, CC), so demand >= 1.
+        1 <= len(shuffle_ids) <= 8,
         f"{len(shuffle_ids)} materialized ShuffleQueryStages + "
         f"{len(bcast_ids)} broadcast-exchange node ids (signature "
         "repartition, salted bucket stage-1 groupBy + tiny pre-capped "
