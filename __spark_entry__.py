@@ -46,6 +46,9 @@ from lsh_forest_for_multi_vector_retrieval_spark.operators.forest_vote import (
     forest_vote_scores,
     get_top_k,
 )
+from lsh_forest_for_multi_vector_retrieval_spark.operators.metrics import (
+    pair_recall_report,
+)
 
 CFG = DedupConfig()
 # Portable hash family: identical LSH math with a DuckDB-reproducible
@@ -309,6 +312,27 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = minhash_dedup(_docs(spark, sf_dir), CFG)
     return _materialize_release(res.verified, res)
+
+
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule headline metric (dup-pair recall, op M1) as a driver
+    oracle: recall of the MinHash-LSH pipeline's verified pairs against
+    brute-force exact n-gram-Jaccard truth at the same shingle/signature
+    config. The DuckDB twin recomputes the ENTIRE candidate pipeline
+    independently — 128-perm MinHash over md5_60 shingle hashes in HUGEINT
+    SQL, band-key collision candidates, exact-Jaccard verification — so a
+    recall regression (a dropped band, a broken hash family, an
+    over-aggressive cap) surfaces as a VALUE mismatch in the correctness
+    gate, not just a pytest failure. Uses PORTABLE_CFG so the band
+    candidates are bit-reproducible cross-engine.
+    Reference analog: recall (/root/reference/src/shared/utils.py:79-87)."""
+    docs = _docs(spark, sf_dir)
+    res = minhash_dedup(docs, PORTABLE_CFG)
+    found = _materialize_release(res.verified, res)
+    truth = ngram_jaccard_pairs_exact(
+        docs, threshold=PORTABLE_CFG.jaccard_threshold, k=PORTABLE_CFG.shingle_size
+    )
+    return pair_recall_report(found, truth)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -678,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chamfer_distance": q_chamfer_distance,
         # oracle-checked LSH internals (portable hash family / exact modes)
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "dedup_recall": q_dedup_recall,
         "dedup_clusters": q_dedup_clusters,
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "simhash_pairs": q_simhash_pairs,
@@ -800,6 +825,50 @@ def oracle_sql() -> dict[str, str]:
         # brute-force exact-Jaccard twin IS the oracle (a recall regression
         # would surface as a row mismatch here, which is the point)
         "minhash_dedup_pairs": _EXACT_JACCARD_SQL,
+        # the north-rule recall, with the FULL candidate pipeline
+        # recomputed independently: 128-perm MinHash in HUGEINT SQL (same
+        # modular math as band_bucket_stats), band-key collision pairs,
+        # exact-Jaccard verification, then recall vs brute-force truth.
+        # found ⊆ truth by construction here, so n_hit = n_found on the
+        # SQL side; a Spark-side false positive would break that equality
+        # and fail the hash match.
+        "dedup_recall": f"""
+            WITH {_JACCARD_CTES},
+            {_SHH_CTE},
+            perms(p, pa, pb) AS (VALUES {_minhash_perm_values()}),
+            sig AS (
+              SELECT doc_id, p,
+                     min(((pa::HUGEINT * h + pb::HUGEINT)
+                          % 18446744073709551616::HUGEINT)
+                         % 2305843009213693951)::BIGINT AS v
+              FROM shh CROSS JOIN perms
+              GROUP BY doc_id, p
+            ),
+            bandkeys AS (
+              SELECT doc_id, (p // {CFG.rows_per_band}) AS band_id,
+                     string_agg(v::VARCHAR, '-' ORDER BY p) AS band_key
+              FROM sig GROUP BY doc_id, (p // {CFG.rows_per_band})
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bandkeys a
+              JOIN bandkeys b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+            ),
+            truth AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+            found AS (
+              SELECT c.doc_a, c.doc_b
+              FROM cand c JOIN truth t
+                ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+            )
+            SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+                   (SELECT count(*) FROM found)::BIGINT AS n_found,
+                   (SELECT count(*) FROM found)::BIGINT AS n_hit,
+                   round(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0
+                         ELSE (SELECT count(*) FROM found)::DOUBLE
+                              / (SELECT count(*) FROM truth) END, 6) AS recall
+        """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_CLUSTERS_CTES}
             SELECT doc_id, cluster_id FROM clusters

@@ -37,6 +37,39 @@ def pair_precision(predicted: DataFrame, truth: DataFrame) -> float:
     return hit / n_pred
 
 
+def pair_recall_report(
+    predicted: DataFrame, truth: DataFrame, round_digits: int = 6
+) -> DataFrame:
+    """Single-row ``(n_truth, n_found, n_hit, recall)`` — the north_rule's
+    dup-pair recall as a DataFrame, so the number itself can sit behind a
+    cross-engine oracle (``pair_recall`` is the float convenience twin).
+    All three counts are aggregates over left-semi joins; no pair set is
+    ever collected, so the report is as scale-safe as the inputs.
+    Reference analog: recall (/root/reference/src/shared/utils.py:79-87)."""
+    t = truth.select("doc_a", "doc_b").distinct()
+    p = predicted.select("doc_a", "doc_b").distinct()
+    hit = t.join(p, ["doc_a", "doc_b"], "left_semi")
+    n_t = t.agg(F.count("*").alias("n_truth"))
+    n_p = p.agg(F.count("*").alias("n_found"))
+    n_h = hit.agg(F.count("*").alias("n_hit"))
+    # three 1-row aggregates; the crossJoins are broadcast-trivial
+    return (
+        n_t.crossJoin(n_p)
+        .crossJoin(n_h)
+        .select(
+            "n_truth",
+            "n_found",
+            "n_hit",
+            F.round(
+                F.when(F.col("n_truth") == 0, F.lit(1.0)).otherwise(
+                    F.col("n_hit").cast("double") / F.col("n_truth")
+                ),
+                round_digits,
+            ).alias("recall"),
+        )
+    )
+
+
 def recall_at_k(
     predicted: DataFrame,
     truth: DataFrame,

@@ -196,3 +196,33 @@ def test_ngram_exact_complete_with_hot_shingle(spark):
     )
     assert got == expected
     assert len(expected) >= 10  # the planted pairs are really there
+
+
+def test_pair_recall_report_counts_and_float_twin(spark):
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.metrics import (
+        pair_recall,
+        pair_recall_report,
+    )
+
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (7, 8)], ["doc_a", "doc_b"]
+    )
+    # 3 hits, 1 miss, 1 false positive, 1 duplicate row (must not double-count)
+    pred = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (5, 6), (9, 10)], ["doc_a", "doc_b"]
+    )
+    row = pair_recall_report(pred, truth).collect()[0]
+    assert (row.n_truth, row.n_found, row.n_hit) == (4, 4, 3)
+    assert row.recall == 0.75
+    assert pair_recall(pred, truth) == 0.75
+
+
+def test_pair_recall_report_empty_truth_is_one(spark):
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.metrics import (
+        pair_recall_report,
+    )
+
+    truth = spark.createDataFrame([], "doc_a long, doc_b long")
+    pred = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    row = pair_recall_report(pred, truth).collect()[0]
+    assert (row.n_truth, row.n_found, row.n_hit, row.recall) == (0, 1, 0, 1.0)
