@@ -47,13 +47,15 @@ def minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     128 -> 160, or 64 -> 96) never changes existing parameters —
     base-band signatures in persisted stores (streaming/incremental
     state, resumable checkpoints) stay valid, and fixed-vs-adaptive
-    A/Bs compare the same base family. Compatibility note: at the
-    canonical ``num_perm >= 128`` this reproduces the historical
+    A/Bs compare the same base family. Compatibility note: at exactly
+    the canonical ``num_perm == 128`` this reproduces the historical
     all-A-then-all-B draw bit-exactly (every committed fixture and
-    recall artifact keeps its hash family); a pre-round-5 store built
-    with a NON-default ``num_perm < 128`` used B values drawn at a
-    different stream offset and must be re-signed (none exist in this
-    repo — guarded by tests/test_signatures.py prefix-stability)."""
+    recall artifact uses 128 and keeps its hash family); a pre-round-5
+    store built with any OTHER width — ``num_perm < 128`` (B values at a
+    different stream offset) or ``num_perm > 128`` (rows past 128 now
+    per-index instead of the legacy tail layout) — must be re-signed
+    (none exist in this repo — guarded by tests/test_signatures.py
+    prefix-stability)."""
     rng = np.random.RandomState(seed)
     p = (1 << 61) - 1
     head = min(num_perm, PARAM_BLOCK)
@@ -61,7 +63,9 @@ def minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     b_blk = rng.randint(0, p, size=PARAM_BLOCK, dtype=np.uint64)
     a, b = a_blk[:head], b_blk[:head]
     if num_perm > PARAM_BLOCK:
-        extra = rng.randint(1, p, size=(num_perm - PARAM_BLOCK, 2), dtype=np.uint64)
+        # one (a, b) draw pair per index (prefix-stable); B from [0, p)
+        # like the block — |1 keeps A odd/nonzero even for a raw 0 draw
+        extra = rng.randint(0, p, size=(num_perm - PARAM_BLOCK, 2), dtype=np.uint64)
         a = np.concatenate([a, extra[:, 0] | np.uint64(1)])
         b = np.concatenate([b, extra[:, 1]])
     return a, b

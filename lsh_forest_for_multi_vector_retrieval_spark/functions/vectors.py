@@ -61,9 +61,10 @@ def hamming_col(a: Column, b: Column) -> Column:
 def _stack_pair_batch(
     a: pd.Series, b: pd.Series
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Stack an ``(array, array)`` Arrow batch into two dense matrices,
+    """Classify an ``(array, array)`` Arrow batch for dense scoring,
     tolerating null and ragged rows. Returns ``(valid_mask, null_mask,
-    ma, mb)`` where ``ma``/``mb`` cover only the valid rows. Bad rows
+    arrs_a, arrs_b)``; feed the valid rows through ``_pairwise_dense``
+    (which groups by row length before stacking). Bad rows
     must DEGRADE exactly like the fold path, not crash the task, and the
     fold distinguishes the two failure shapes: a NULL input array makes
     the whole fold NULL (``dot_col`` scores NULL; ``cosine_col``'s
@@ -85,11 +86,36 @@ def _stack_pair_batch(
         ],
         dtype=bool,
     )
-    if not valid.any():
-        return valid, null, np.empty((0, 0)), np.empty((0, 0))
-    ma = np.stack([x for x, ok in zip(arrs_a, valid) if ok])
-    mb = np.stack([y for y, ok in zip(arrs_b, valid) if ok])
-    return valid, null, ma, mb
+    return valid, null, arrs_a, arrs_b
+
+
+def _pairwise_dense(
+    valid: np.ndarray,
+    arrs_a: list,
+    arrs_b: list,
+    dense_fn,
+) -> np.ndarray:
+    """Apply ``dense_fn(ma, mb) -> vals`` over the valid rows, grouped by
+    row length so ``np.stack`` never sees a cross-row shape mismatch: a
+    batch mixing dim-64 pairs with (equal-length) dim-32 or empty pairs
+    runs one einsum PER length present — one group on healthy data, and
+    every equal-shape pair still scores exactly like the per-row fold
+    (the fold has no notion of "the batch's dim"). Returns vals in
+    valid-row order, ready for ``_scatter_valid``."""
+    vidx = np.flatnonzero(valid)
+    vals = np.empty(len(vidx), dtype=np.float64)
+    if not len(vidx):
+        return vals
+    lengths = np.fromiter(
+        (arrs_a[i].shape[0] for i in vidx), dtype=np.int64, count=len(vidx)
+    )
+    for dim in np.unique(lengths):
+        grp = lengths == dim
+        sel = vidx[grp]
+        ma = np.stack([arrs_a[i] for i in sel])
+        mb = np.stack([arrs_b[i] for i in sel])
+        vals[grp] = dense_fn(ma, mb)
+    return vals
 
 
 def _scatter_valid(
@@ -140,15 +166,30 @@ def nearest_centroid_pandas_udf(centroids: list[list[float]]):
     ``np.argmax`` takes the FIRST max, i.e. ties go to the lowest
     centroid id — the same rule as the fold path's struct ordering
     (ulp-level GEMM reduction-order variance can still flip an EXACT
-    score tie, so fixture-oracle comparisons keep the fold)."""
+    score tie, so fixture-oracle comparisons keep the fold). Degenerate
+    rows (NULL, empty, or wrong-dim vectors) assign to cell 0, exactly
+    like the fold: every per-centroid dot is NULL there, so the struct
+    max falls through to the lowest-cid tie-break (verified empirically
+    against ``array_max(centroid_scores_arr(...))["cid"]``)."""
     cmat = np.asarray(centroids, dtype=np.float64)
+    dim = cmat.shape[1]
 
     @pandas_udf("int")
     def _cell_pd(v: pd.Series) -> pd.Series:
         if len(v) == 0:  # np.stack raises on an empty Arrow batch
             return pd.Series([], dtype="int64")
-        m = np.stack(v.map(lambda a: np.asarray(a, dtype=np.float64)))
-        return pd.Series(np.argmax(m @ cmat.T, axis=1))
+        arrs = [None if x is None else np.asarray(x, dtype=np.float64) for x in v]
+        valid = np.array(
+            [x is not None and x.ndim == 1 and x.shape[0] == dim for x in arrs],
+            dtype=bool,
+        )
+        if valid.all():
+            return pd.Series(np.argmax(np.stack(arrs) @ cmat.T, axis=1))
+        out = np.zeros(len(arrs), dtype=np.int64)  # fold's degenerate-row cell
+        if valid.any():
+            m = np.stack([x for x, ok in zip(arrs, valid) if ok])
+            out[valid] = np.argmax(m @ cmat.T, axis=1)
+        return pd.Series(out)
 
     return _cell_pd
 
@@ -164,10 +205,12 @@ def dot_pandas_udf():
     def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
         if len(a) == 0:
             return pd.Series([], dtype="float64")
-        valid, _null, ma, mb = _stack_pair_batch(a, b)
+        valid, _null, arrs_a, arrs_b = _stack_pair_batch(a, b)
+        vals = _pairwise_dense(
+            valid, arrs_a, arrs_b, lambda ma, mb: np.einsum("ij,ij->i", ma, mb)
+        )
         if valid.all():
-            return pd.Series(np.einsum("ij,ij->i", ma, mb))
-        vals = np.einsum("ij,ij->i", ma, mb) if len(ma) else np.empty(0)
+            return pd.Series(vals)
         return _scatter_valid(valid, vals)
 
     return _dot
@@ -194,10 +237,10 @@ def cosine_pandas_udf():
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
         if len(a) == 0:
             return pd.Series([], dtype="float64")
-        valid, null, ma, mb = _stack_pair_batch(a, b)
+        valid, null, arrs_a, arrs_b = _stack_pair_batch(a, b)
+        vals = _pairwise_dense(valid, arrs_a, arrs_b, _cos_dense)
         if valid.all():
-            return pd.Series(_cos_dense(ma, mb))
-        vals = _cos_dense(ma, mb) if len(ma) else np.empty(0)
+            return pd.Series(vals)
         return _scatter_valid(valid, vals, null_fill=null)
 
     return _cos

@@ -205,12 +205,13 @@ def centroid_index(
     "fold" for fixture-oracle comparisons)."""
     if assignment not in ("fold", "pandas"):
         raise ValueError(f"assignment must be 'fold' or 'pandas', got {assignment!r}")
-    rows = centroids.select("centroid_id", "centroid").collect()
-    codebook = [r.centroid for r in sorted(rows, key=lambda r: r.centroid_id)]
-    if [r.centroid_id for r in sorted(rows, key=lambda r: r.centroid_id)] != list(
-        range(len(rows))
-    ):
+    rows = sorted(
+        centroids.select("centroid_id", "centroid").collect(),
+        key=lambda r: r.centroid_id,
+    )
+    if [r.centroid_id for r in rows] != list(range(len(rows))):
         raise ValueError("centroid_id must be dense 0..k-1")
+    codebook = [r.centroid for r in rows]
     if assignment == "pandas":
         cell = nearest_centroid_pandas_udf(codebook)(F.col(vec_col))
     else:

@@ -314,14 +314,20 @@ def dedup_pipeline(
         # totals aggregated IN Spark; only 100 detail rows ever reach the
         # driver — on a pathological corpus with millions of hot buckets
         # the old full-ledger collect was unbounded (round-4 VERDICT #6)
-        ledger = bucket_drop_stats(deps["bands"], cfg)
-        totals = ledger.agg(
-            F.coalesce(F.sum("dropped_docs"), F.lit(0)).alias("d"),
-            F.coalesce(F.sum("starred_pairs_skipped"), F.lit(0)).alias("s"),
-        ).first()
-        detail = ledger.orderBy(
-            F.desc("bucket_n"), "band_id", "band_hash"
-        ).limit(100).collect()
+        # persisted across the two actions: the ledger is a corpus-scale
+        # groupBy over the band table, and totals + detail would otherwise
+        # recompute it back-to-back
+        ledger = bucket_drop_stats(deps["bands"], cfg).persist()
+        try:
+            totals = ledger.agg(
+                F.coalesce(F.sum("dropped_docs"), F.lit(0)).alias("d"),
+                F.coalesce(F.sum("starred_pairs_skipped"), F.lit(0)).alias("s"),
+            ).first()
+            detail = ledger.orderBy(
+                F.desc("bucket_n"), "band_id", "band_hash"
+            ).limit(100).collect()
+        finally:
+            ledger.unpersist()
         return {
             "dropped_docs_total": int(totals.d),
             "starred_pairs_skipped_total": int(totals.s),

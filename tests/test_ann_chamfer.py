@@ -496,6 +496,13 @@ def test_pandas_scoring_null_and_ragged_rows_score_null(spark):
             (2, [1.0, 0.0], None),         # null right
             (3, [1.0, 0.0, 2.0], [1.0, 0.0]),  # ragged
             (4, [0.0, 0.0], [0.0, 0.0]),   # zero denom -> 0.0, not null
+            # cross-row heterogeneity in ONE Arrow batch: equal-shape
+            # pairs of a DIFFERENT dim than the rest must SCORE (the
+            # per-row fold has no notion of "the batch's dim"), and an
+            # empty-empty pair folds to dot 0.0 / cosine 0.0 — neither
+            # may crash np.stack
+            (5, [0.6, 0.8, 0.0], [0.6, 0.8, 0.0]),  # dim-3 among dim-2
+            (6, [], []),                   # empty-empty
         ],
         "id long, a array<double>, b array<double>",
     )
@@ -519,8 +526,42 @@ def test_pandas_scoring_null_and_ragged_rows_score_null(spark):
     assert got[2].cos_pd == 0.0 and got[2].dot_pd is None  # null right
     assert got[3].cos_pd is None and got[3].dot_pd is None  # ragged
     assert got[4].cos_pd == 0.0  # zero-denominator convention kept
+    assert got[5].cos_pd == pytest.approx(1.0)  # off-dim pair still scores
+    assert got[5].dot_pd == pytest.approx(1.0)
+    assert got[6].cos_pd == 0.0 and got[6].dot_pd == 0.0  # empty-empty
     # and the bad rows fail a threshold filter instead of passing as NaN
     kept = df.select(
         "id", cosine_pandas_udf()(F.col("a"), F.col("b")).alias("s")
     ).where(F.col("s") >= 0.5)
-    assert [r.id for r in kept.collect()] == [0]
+    assert [r.id for r in kept.collect()] == [0, 5]
+
+
+def test_pandas_centroid_assignment_degrades_like_fold(spark):
+    """The production GEMM assignment kernel must tolerate NULL, ragged,
+    and empty vectors by assigning cell 0 — exactly what the fold path
+    does there (all per-centroid dots NULL -> struct max falls through
+    to the lowest-cid tie-break) — instead of crashing np.stack."""
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.vectors import (
+        centroid_scores_arr,
+        nearest_centroid_pandas_udf,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [(0, [0.1, 0.9]), (1, None), (2, [0.5]), (3, []), (4, [0.9, 0.1])],
+        "id long, vec array<double>",
+    )
+    got = (
+        df.select(
+            "id",
+            nearest_centroid_pandas_udf(cents)(F.col("vec")).alias("pd_cell"),
+            F.array_max(centroid_scores_arr(cents, "vec"))["cid"].alias(
+                "fold_cell"
+            ),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    for r in got:
+        assert r.pd_cell == r.fold_cell, r
+    assert [r.pd_cell for r in got] == [1, 0, 0, 0, 0]
