@@ -245,7 +245,14 @@ def _wait_for_quiet(gate: float, patience_s: float) -> float:
     whatever window it landed in). Returns the probe that released the
     pass — >= gate, or the last reading once patience expires (the pass
     then runs anyway so the driver always gets its one JSON line, but the
-    artifact flags itself via probe_gate_met=false)."""
+    artifact flags itself via probe_gate_met=false).
+
+    Deliberately a sibling of, not shared with, the scaling harness's
+    copy: the gates differ on purpose (0.90 here — an unpinned 32-thread
+    suite; 0.95 there — pinned per-core legs where a ratio is at stake),
+    as do the post-pass settles (10 s here after a full-suite unpersist;
+    12 s there after a single flagship leg). Calibration changes to one
+    do not automatically apply to the other — check both."""
     deadline = time.monotonic() + patience_s
     while True:
         p = _delivery_probe_subproc(CPUS)

@@ -73,7 +73,15 @@ def _stack_pair_batch(
     null-pads ``zip_with`` so the dot folds to NULL but the norms stay
     finite — both score NULL. Never substitute NaN for NULL: Spark
     orders NaN ABOVE every number, so a NaN score would pass a
-    ``score >= threshold`` filter that a NULL correctly fails."""
+    ``score >= threshold`` filter that a NULL correctly fails.
+
+    A third bad shape is invisible at this layer: a null ELEMENT inside
+    an otherwise-sound array crosses Arrow as NaN, so the row classifies
+    valid here and its einsum product is NaN. The kernels handle it
+    downstream: the dot kernel masks NaN results back to SQL NULL
+    (matching ``dot_col``, whose fold is NULL once any product is NULL)
+    and cosine's ``den > 0`` gate is False on a NaN denominator, giving
+    0.0 (matching ``cosine_col``'s NULL-condition ``otherwise(0.0)``)."""
     arrs_a = [None if x is None else np.asarray(x, dtype=np.float64) for x in a]
     arrs_b = [None if x is None else np.asarray(x, dtype=np.float64) for x in b]
     null = np.array(
@@ -199,7 +207,10 @@ def dot_pandas_udf():
     the plain-dot sibling of :func:`cosine_pandas_udf`, used by the PLAID
     interaction scorer's ``scoring="pandas"`` production path (the
     centroid-score and exact-rerank stages are max-sum-of-DOTS, not
-    cosine). Null/ragged rows score NULL, matching the fold path."""
+    cosine). Null/ragged rows score NULL, matching the fold path; so do
+    rows whose arrays carry null ELEMENTS (Arrow surfaces those as NaN,
+    which would otherwise outrank every real score — see
+    ``_stack_pair_batch``)."""
 
     @pandas_udf("double")
     def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -209,6 +220,13 @@ def dot_pandas_udf():
         vals = _pairwise_dense(
             valid, arrs_a, arrs_b, lambda ma, mb: np.einsum("ij,ij->i", ma, mb)
         )
+        # null ELEMENTS cross Arrow as NaN and einsum propagates them;
+        # fold semantics are NULL (any NULL product folds the sum to
+        # NULL), and NULL — unlike NaN — cannot outrank real scores
+        nan_rows = np.isnan(vals)
+        if nan_rows.any():
+            valid[np.flatnonzero(valid)[nan_rows]] = False
+            vals = vals[~nan_rows]
         if valid.all():
             return pd.Series(vals)
         return _scatter_valid(valid, vals)

@@ -195,9 +195,17 @@ def centroid_index(
     partitioned by (doc_id, vector) — a |vectors| x k row explosion
     through a full shuffle, the last 100x hazard in the headline plans.
     The codebook is tiny (k <= a few hundred) and is collected once and
-    embedded as a literal, so assignment is now a no-shuffle,
-    whole-stage-codegen projection with bit-identical results (same
-    ``dot_col`` fold per centroid, same desc-score / asc-id tie-break).
+    embedded as a literal — note that makes building this plan a small
+    blocking Spark action (one scan of the k-row centroid table), the
+    price of a no-shuffle whole-stage-codegen assignment projection with
+    bit-identical results (same ``dot_col`` fold per centroid, same
+    desc-score / asc-id tie-break).
+
+    ``centroid_id`` need not be dense 0..k-1: the argmax runs over
+    codebook POSITIONS (id-sorted, so position ties = lowest-id ties)
+    and positions map back to the real ids through a k-element literal
+    lookup — a filtered codebook (e.g. empty cells dropped) keeps its
+    original ids in the output.
 
     ``assignment="pandas"``: Arrow-batched NumPy GEMM + argmax — the
     production path for wide codebooks (same trade as ``ann.ivf_topk``:
@@ -209,13 +217,18 @@ def centroid_index(
         centroids.select("centroid_id", "centroid").collect(),
         key=lambda r: r.centroid_id,
     )
-    if [r.centroid_id for r in rows] != list(range(len(rows))):
-        raise ValueError("centroid_id must be dense 0..k-1")
+    if not rows:
+        raise ValueError("centroids table is empty")
     codebook = [r.centroid for r in rows]
     if assignment == "pandas":
-        cell = nearest_centroid_pandas_udf(codebook)(F.col(vec_col))
+        pos = nearest_centroid_pandas_udf(codebook)(F.col(vec_col))
     else:
-        cell = nearest_centroid_col(codebook, vec_col)
+        pos = nearest_centroid_col(codebook, vec_col)
+    ids = [r.centroid_id for r in rows]
+    if ids == list(range(len(rows))):
+        cell = pos  # dense table: position IS the id — skip the lookup
+    else:
+        cell = F.element_at(F.array(*[F.lit(i) for i in ids]), pos + F.lit(1))
     return (
         doc_vectors.select(
             cell.alias("centroid_id"), F.col(doc_col).alias("doc_id")

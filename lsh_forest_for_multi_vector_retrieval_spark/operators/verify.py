@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -48,8 +49,20 @@ def _join_shingles(
     explicit broadcast is bounded at 8 bytes per candidate doc; callers
     with pathologically dense pair sets disable it via
     ``DedupConfig.verify_prune_candidates``.
+
+    The prune traverses the pair plan TWICE (the candidate-id distinct
+    plus the pair join itself), so an UNCACHED ``pairs`` plan would
+    re-run its whole band/bucket chain for each — when the caller hasn't
+    persisted it, the slim (doc_a, doc_b) table is materialized once
+    here via eager ``localCheckpoint`` (two longs per row,
+    ContextCleaner-released; same pattern as dedup.simhash/ann). That
+    makes this call a blocking action for uncached inputs; callers that
+    persist ``pairs`` (``minhash_dedup(persist_intermediates=True)``,
+    streaming) keep their single cached materialization.
     """
     if prune:
+        if pairs.storageLevel == StorageLevel.NONE:
+            pairs = pairs.localCheckpoint(eager=True)
         cand_ids = (
             pairs.select(F.col("doc_a").alias(id_col))
             .unionByName(pairs.select(F.col("doc_b").alias(id_col)))

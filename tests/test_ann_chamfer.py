@@ -486,6 +486,7 @@ def test_pandas_scoring_null_and_ragged_rows_score_null(spark):
     from lsh_forest_for_multi_vector_retrieval_spark.functions.vectors import (
         cosine_col,
         cosine_pandas_udf,
+        dot_col,
         dot_pandas_udf,
     )
 
@@ -503,6 +504,13 @@ def test_pandas_scoring_null_and_ragged_rows_score_null(spark):
             # may crash np.stack
             (5, [0.6, 0.8, 0.0], [0.6, 0.8, 0.0]),  # dim-3 among dim-2
             (6, [], []),                   # empty-empty
+            # null ELEMENTS inside otherwise-sound arrays: Arrow hands
+            # the kernel NaN for these, and a NaN score would outrank
+            # every real one — the dot kernel must fold them to NULL
+            # like dot_col (any NULL product folds the sum to NULL),
+            # cosine to 0.0 like cosine_col's NULL-denom otherwise(0.0)
+            (7, [1.0, None], [1.0, 0.0]),  # null element left
+            (8, [1.0, 0.0], [None, None]),  # null elements right
         ],
         "id long, a array<double>, b array<double>",
     )
@@ -512,6 +520,7 @@ def test_pandas_scoring_null_and_ragged_rows_score_null(spark):
             cosine_pandas_udf()(F.col("a"), F.col("b")).alias("cos_pd"),
             dot_pandas_udf()(F.col("a"), F.col("b")).alias("dot_pd"),
             cosine_col(F.col("a"), F.col("b")).alias("cos_fold"),
+            dot_col(F.col("a"), F.col("b")).alias("dot_fold"),
         )
         .orderBy("id")
         .collect()
@@ -521,6 +530,9 @@ def test_pandas_scoring_null_and_ragged_rows_score_null(spark):
         assert (r.cos_pd is None) == (r.cos_fold is None), r
         if r.cos_pd is not None:
             assert abs(r.cos_pd - r.cos_fold) < 1e-12, r
+        assert (r.dot_pd is None) == (r.dot_fold is None), r
+        if r.dot_pd is not None:
+            assert abs(r.dot_pd - r.dot_fold) < 1e-12, r
     assert got[0].cos_pd == pytest.approx(1.0)
     assert got[1].cos_pd == 0.0 and got[1].dot_pd is None  # null left
     assert got[2].cos_pd == 0.0 and got[2].dot_pd is None  # null right
@@ -529,11 +541,17 @@ def test_pandas_scoring_null_and_ragged_rows_score_null(spark):
     assert got[5].cos_pd == pytest.approx(1.0)  # off-dim pair still scores
     assert got[5].dot_pd == pytest.approx(1.0)
     assert got[6].cos_pd == 0.0 and got[6].dot_pd == 0.0  # empty-empty
+    assert got[7].cos_pd == 0.0 and got[7].dot_pd is None  # null elem left
+    assert got[8].cos_pd == 0.0 and got[8].dot_pd is None  # null elem right
     # and the bad rows fail a threshold filter instead of passing as NaN
     kept = df.select(
         "id", cosine_pandas_udf()(F.col("a"), F.col("b")).alias("s")
     ).where(F.col("s") >= 0.5)
     assert [r.id for r in kept.collect()] == [0, 5]
+    kept_dot = df.select(
+        "id", dot_pandas_udf()(F.col("a"), F.col("b")).alias("s")
+    ).where(F.col("s") >= 0.5)
+    assert [r.id for r in kept_dot.collect()] == [0, 5]
 
 
 def test_pandas_centroid_assignment_degrades_like_fold(spark):

@@ -115,6 +115,25 @@ def test_centroid_index_no_crossjoin_and_matches_legacy_plan(
     assert idx.exceptAll(pidx).count() == 0
 
 
+def test_centroid_index_sparse_ids(doc_vectors, centroids):
+    """A filtered codebook (sparse, non-dense centroid ids) must keep its
+    REAL ids in the output: the argmax runs over id-sorted positions and
+    maps back through a literal lookup. A monotonic remap preserves the
+    lowest-id tie-break, so assignments correspond 1:1 to the dense
+    table's."""
+    dense = centroid_index(doc_vectors, centroids)
+    sparse_cents = centroids.select(
+        (F.col("centroid_id") * 3 + 2).alias("centroid_id"), "centroid"
+    )
+    for mode in ("fold", "pandas"):
+        sparse = centroid_index(doc_vectors, sparse_cents, assignment=mode)
+        remapped = dense.select(
+            (F.col("centroid_id") * 3 + 2).alias("centroid_id"), "doc_id"
+        )
+        assert sparse.exceptAll(remapped).count() == 0, mode
+        assert remapped.exceptAll(sparse).count() == 0, mode
+
+
 def test_plaid_ranks_planted_doc_first(doc_vectors, query_vectors, centroids):
     # full PLAID: centroid candidates + exact re-rank of the pool
     got = plaid_topk(doc_vectors, query_vectors, centroids, k=10, nprobe=4, rerank=10)
