@@ -224,17 +224,32 @@ def _delivery_probe_subproc(n_procs: int) -> float:
     JVM-attached PySpark driver (mp.Pool inside run_headline) can deadlock
     in the child — observed as a bench hang with both the JVM and the
     driver near-idle; a clean interpreter has nothing to inherit."""
-    proc = subprocess.run(
-        [sys.executable, __file__, "--probe", str(n_procs)],
-        capture_output=True, text=True,
-        env={**os.environ, "PYTHONPATH": str(Path(__file__).parent)},
+    for attempt in (1, 2):  # one retry absorbs a transient (fork/OOM) blip
+        proc = subprocess.run(
+            [sys.executable, __file__, "--probe", str(n_procs)],
+            capture_output=True, text=True,
+            env={**os.environ, "PYTHONPATH": str(Path(__file__).parent)},
+        )
+        if proc.returncode == 0:
+            for line in reversed(proc.stdout.splitlines()):
+                try:
+                    return float(line.strip())
+                except ValueError:
+                    continue
+        # A crashed probe must be LOUD, not read as a throttled window:
+        # returning the old 0.0 sentinel made _wait_for_quiet burn its
+        # full patience per pass and stamp probe_gate_met=false — a
+        # broken probe masquerading as substrate throttle with no
+        # diagnostic anywhere.
+        _log(
+            f"probe subprocess failed (attempt {attempt}, "
+            f"rc={proc.returncode}); stderr tail: "
+            f"{proc.stderr.strip()[-500:]!r}"
+        )
+    raise RuntimeError(
+        "delivery-probe subprocess failed twice — the probe harness is "
+        "broken (see stderr tail above), not the substrate throttled"
     )
-    for line in reversed(proc.stdout.splitlines()):
-        try:
-            return float(line.strip())
-        except ValueError:
-            continue
-    return 0.0
 
 
 def _wait_for_quiet(gate: float, patience_s: float) -> float:

@@ -50,6 +50,16 @@ class DedupConfig:
     # candidate docs); disable for corpora where candidate docs approach
     # the corpus itself (the unpruned plan shuffles sigs once instead).
     verify_prune_candidates: bool = True
+    # Candidate-id sets up to this size are broadcast for the prune's
+    # semi-join; above it (duplicate-dense corpora — boilerplate-heavy
+    # crawls where most docs appear in some pair) the prune falls back to
+    # a shuffle semi-join of the slim id column instead of force-feeding
+    # a multi-GB LongHashedRelation past the autoBroadcastJoinThreshold
+    # (a broadcast hash relation costs ~30-50 B/row on the executor heap,
+    # not the 8 B/row of the raw longs: 10M ids ~ 0.3-0.5 GB, a safe
+    # ceiling for 8 GB executors). The id count is known exactly at plan
+    # time — the prune counts the checkpointed id table it joins with.
+    verify_prune_max_ids: int = 10_000_000
 
     # --- skew / scale controls (north_rule: explicit skew handling) ---
     # Buckets larger than this are boilerplate-heavy hot keys; we cap the

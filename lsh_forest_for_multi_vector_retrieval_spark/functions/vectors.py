@@ -33,7 +33,17 @@ from pyspark.sql.functions import pandas_udf
 
 def dot_col(a: Column, b: Column) -> Column:
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+    fold = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+    # A genuine NaN element poisons the fold to NaN, and Spark orders NaN
+    # ABOVE every double — a NaN score would pass `score >= threshold`
+    # filters that corrupt data must fail. Normalize NaN folds to NULL so
+    # both scoring paths agree on bad data: the Arrow kernel cannot
+    # distinguish a null element from a stored NaN (both cross Arrow as
+    # NaN) and already masks NaN results to NULL; without this, fold vs
+    # pandas returned DIFFERENT pair sets on NaN-poisoned embeddings.
+    # NULL inputs are unaffected (nanvl passes non-NaN values through,
+    # and NULL is not NaN), so clean-data results are bit-identical.
+    return F.nanvl(fold, F.lit(None).cast("double"))
 
 
 def norm_col(a: Column) -> Column:

@@ -35,6 +35,8 @@ def _join_shingles(
     docs: DataFrame,
     id_col: str = "doc_id",
     prune: bool = True,
+    max_broadcast_ids: int = 10_000_000,
+    materialize_pairs: bool = True,
 ) -> DataFrame:
     """Attach each side's shingle set (and simhash when present).
 
@@ -46,9 +48,15 @@ def _join_shingles(
     verify stage was 60.8 s of a 133 s four-core flagship pass at 320k
     docs — ~0.6 GB of arrays shuffled to verify 10k pairs; pruned: the
     id set broadcasts and the signature scan is probed in place). The
-    explicit broadcast is bounded at 8 bytes per candidate doc; callers
-    with pathologically dense pair sets disable it via
-    ``DedupConfig.verify_prune_candidates``.
+    broadcast is COUNT-GATED (``max_broadcast_ids``, from
+    ``DedupConfig.verify_prune_max_ids``): on duplicate-dense corpora
+    where candidate docs approach the corpus itself, the explicit hint
+    would force a multi-GB hash relation past the
+    autoBroadcastJoinThreshold, so oversized id sets fall back to a
+    shuffle semi-join of the slim id column — still far cheaper than
+    shuffling the shingle arrays. The count is exact and nearly free:
+    the id table is eager-localCheckpointed (one long per row) so the
+    count and the semi-join share one materialization.
 
     The prune traverses the pair plan TWICE (the candidate-id distinct
     plus the pair join itself), so an UNCACHED ``pairs`` plan would
@@ -56,19 +64,27 @@ def _join_shingles(
     persisted it, the slim (doc_a, doc_b) table is materialized once
     here via eager ``localCheckpoint`` (two longs per row,
     ContextCleaner-released; same pattern as dedup.simhash/ann). That
-    makes this call a blocking action for uncached inputs; callers that
-    persist ``pairs`` (``minhash_dedup(persist_intermediates=True)``,
-    streaming) keep their single cached materialization.
+    makes this call a blocking action for uncached inputs. Callers whose
+    ``pairs`` is ALREADY cheap to traverse twice — persisted
+    (``minhash_dedup(persist_intermediates=True)``, streaming) or a bare
+    checkpointed-parquet scan (``plans.pipeline``) — skip it: persisted
+    inputs via the storageLevel check, parquet-backed ones via
+    ``materialize_pairs=False`` (re-scanning a slim pair file twice is
+    cheaper than copying it into block-manager storage that lingers
+    until ContextCleaner GCs the reference).
     """
     if prune:
-        if pairs.storageLevel == StorageLevel.NONE:
+        if materialize_pairs and pairs.storageLevel == StorageLevel.NONE:
             pairs = pairs.localCheckpoint(eager=True)
         cand_ids = (
             pairs.select(F.col("doc_a").alias(id_col))
             .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
             .distinct()
+            .localCheckpoint(eager=True)
         )
-        docs = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
+        if cand_ids.count() <= max_broadcast_ids:
+            cand_ids = F.broadcast(cand_ids)
+        docs = docs.join(cand_ids, id_col, "left_semi")
     cols = ["shingles"] + (["simhash"] if "simhash" in docs.columns else [])
     a = docs.select(
         F.col(id_col).alias("doc_a"), *[F.col(c).alias(f"{c}_a") for c in cols]
@@ -91,10 +107,21 @@ def verify_pairs(
     cfg: DedupConfig = DedupConfig(),
     id_col: str = "doc_id",
     keep_below_threshold: bool = False,
+    materialize_pairs: bool = True,
 ) -> DataFrame:
-    """``(doc_a, doc_b, jaccard)`` for pairs with jaccard >= threshold."""
+    """``(doc_a, doc_b, jaccard)`` for pairs with jaccard >= threshold.
+
+    ``materialize_pairs=False`` skips the prune's eager localCheckpoint
+    of ``pairs`` — pass it when ``pairs`` is already a bare parquet scan
+    (the checkpointed pipeline) so a cheap re-scan isn't copied into
+    block-manager storage."""
     joined = _join_shingles(
-        pairs, docs_with_shingles, id_col, prune=cfg.verify_prune_candidates
+        pairs,
+        docs_with_shingles,
+        id_col,
+        prune=cfg.verify_prune_candidates,
+        max_broadcast_ids=cfg.verify_prune_max_ids,
+        materialize_pairs=materialize_pairs,
     )
     if (
         cfg.simhash_prefilter_max_hamming is not None
@@ -138,7 +165,11 @@ def verify_pairs_pandas(
     pathological at scale; group-per-salt keeps batches dense.
     """
     joined = _join_shingles(
-        pairs, docs_with_shingles, id_col, prune=cfg.verify_prune_candidates
+        pairs,
+        docs_with_shingles,
+        id_col,
+        prune=cfg.verify_prune_candidates,
+        max_broadcast_ids=cfg.verify_prune_max_ids,
     ).withColumn(
         "grp", F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(num_groups))
     )

@@ -344,7 +344,12 @@ def dedup_pipeline(
         }
 
     def s_verified(spark, deps):
-        return verify_pairs(deps["candidates"], deps["signatures"], cfg)
+        # candidates is a checkpointed-parquet scan: re-reading the slim
+        # pair file for the prune's two traversals is cheaper than eager-
+        # copying it into block-manager storage (materialize_pairs=False).
+        return verify_pairs(
+            deps["candidates"], deps["signatures"], cfg, materialize_pairs=False
+        )
 
     def s_clusters(spark, deps):
         return connected_components(

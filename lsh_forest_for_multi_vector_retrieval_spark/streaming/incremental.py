@@ -20,6 +20,7 @@ much a backlog can deliver per batch in the first place.
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -85,11 +86,30 @@ class IncrementalDedup:
     #: bands = 160M rows is not.
     BROADCAST_MAX_BAND_ROWS = 2_000_000
 
+    #: DedupConfig fields that determine the persisted hash families: a
+    #: store signed under one value of any of these is UNREADABLE (not
+    #: wrong — silently collision-free) under another, because new
+    #: band_hash values would never equal history's. Checked against a
+    #: ``_params.json`` fingerprint in the state dir.
+    SIGNATURE_PARAMS = (
+        "shingle_size",
+        "lowercase",
+        "hash_family",
+        "num_perm",
+        "minhash_seed",
+        "num_bands",
+        "rows_per_band",
+        "simhash_bits",
+        "use_adaptive_bands",
+        "adaptive_reserved_rows",
+    )
+
     def __init__(
         self,
         state_dir: str,
         cfg: DedupConfig = DedupConfig(),
         broadcast_max_band_rows: int | None = None,
+        trust_legacy_state: bool = False,
     ):
         self.state = Path(state_dir)
         self.cfg = cfg
@@ -102,6 +122,43 @@ class IncrementalDedup:
         self.sigs_path = str(self.state / "sigs")
         self.pairs_path = str(self.state / "pairs")
         self.chk_path = str(self.state / "_chk")
+        self._check_state_params(trust_legacy_state)
+
+    def _check_state_params(self, trust_legacy_state: bool) -> None:
+        """Refuse to extend a signature store built under a different
+        hash family. A mismatch is not an error Spark can see — new
+        band hashes simply never collide with history, so duplicates
+        against everything already ingested are SILENTLY missed (pure
+        recall loss). Fail at construction instead."""
+        want = {k: getattr(self.cfg, k) for k in self.SIGNATURE_PARAMS}
+        marker = self.state / "_params.json"
+        if marker.exists():
+            have = json.loads(marker.read_text())
+            diffs = {
+                k: (have.get(k), v) for k, v in want.items() if have.get(k) != v
+            }
+            if diffs:
+                raise ValueError(
+                    "state_dir was signed under a different hash family: "
+                    + ", ".join(
+                        f"{k}: stored={s!r} requested={r!r}"
+                        for k, (s, r) in sorted(diffs.items())
+                    )
+                    + ". New batches would never collide with history "
+                    "(silent recall loss). Re-sign the store under the new "
+                    "config, or use a fresh state_dir."
+                )
+            return
+        if Path(self.bands_path).exists() and not trust_legacy_state:
+            raise ValueError(
+                f"state_dir {self.state} holds band history but no "
+                "_params.json fingerprint (written by an older version). "
+                "If it was signed under THIS config, pass "
+                "trust_legacy_state=True to stamp and continue; otherwise "
+                "re-sign or use a fresh state_dir."
+            )
+        self.state.mkdir(parents=True, exist_ok=True)
+        marker.write_text(json.dumps(want, indent=1, sort_keys=True))
 
     # -- batch core (reused by foreachBatch) --------------------------------
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:

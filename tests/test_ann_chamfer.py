@@ -511,6 +511,15 @@ def test_pandas_scoring_null_and_ragged_rows_score_null(spark):
             # cosine to 0.0 like cosine_col's NULL-denom otherwise(0.0)
             (7, [1.0, None], [1.0, 0.0]),  # null element left
             (8, [1.0, 0.0], [None, None]),  # null elements right
+            # genuine NaN DATA (not a null element): the Arrow kernel
+            # cannot tell the two apart (both cross Arrow as NaN), so
+            # the FOLD normalizes NaN results to NULL (dot) / 0.0
+            # (cosine, via the NULL-denominator otherwise) too — without
+            # that, fold scored NaN, which Spark orders ABOVE every
+            # number, and the two paths returned different pair sets on
+            # NaN-poisoned embeddings
+            (9, [1.0, float("nan")], [1.0, 0.0]),
+            (10, [float("nan"), float("nan")], [float("nan"), 1.0]),
         ],
         "id long, a array<double>, b array<double>",
     )
@@ -543,6 +552,8 @@ def test_pandas_scoring_null_and_ragged_rows_score_null(spark):
     assert got[6].cos_pd == 0.0 and got[6].dot_pd == 0.0  # empty-empty
     assert got[7].cos_pd == 0.0 and got[7].dot_pd is None  # null elem left
     assert got[8].cos_pd == 0.0 and got[8].dot_pd is None  # null elem right
+    assert got[9].cos_pd == 0.0 and got[9].dot_pd is None  # genuine NaN
+    assert got[10].cos_pd == 0.0 and got[10].dot_pd is None  # all-NaN
     # and the bad rows fail a threshold filter instead of passing as NaN
     kept = df.select(
         "id", cosine_pandas_udf()(F.col("a"), F.col("b")).alias("s")

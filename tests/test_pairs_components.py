@@ -62,6 +62,25 @@ def test_band_count_invariant(sigs):
     assert per_doc == [CFG.num_bands]
 
 
+def test_verify_prune_broadcast_gate(sigs):
+    """Round-5 review: the verify prune's explicit broadcast is
+    count-gated (verify_prune_max_ids) — on duplicate-dense corpora the
+    forced hint would push a multi-GB hash relation past the broadcast
+    threshold. A zero cap exercises the shuffle-semi-join fallback and
+    must return byte-identical verified pairs; materialize_pairs=False
+    (the parquet-backed pipeline path) must too."""
+    from dataclasses import replace
+
+    pairs = candidate_pairs(band_table(sigs, CFG), CFG)
+    v_bc = verify_pairs(pairs, sigs, CFG)
+    v_sh = verify_pairs(pairs, sigs, replace(CFG, verify_prune_max_ids=0))
+    assert v_bc.exceptAll(v_sh).count() == 0
+    assert v_sh.exceptAll(v_bc).count() == 0
+    v_nm = verify_pairs(pairs, sigs, CFG, materialize_pairs=False)
+    assert v_bc.exceptAll(v_nm).count() == 0
+    assert v_nm.exceptAll(v_bc).count() == 0
+
+
 def test_verify_native_and_pandas_agree(sigs):
     pairs = candidate_pairs(band_table(sigs, CFG), CFG)
     v1 = verify_pairs(pairs, sigs, CFG).select("doc_a", "doc_b", "jaccard")

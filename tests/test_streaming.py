@@ -132,3 +132,33 @@ def test_oversized_batch_falls_back_to_shuffle_join(spark, tmp_path):
     }
     pages.unpersist()
     assert got_bc == got_sh
+
+
+def test_state_params_fingerprint_guard(spark, tmp_path):
+    """Round-5 review: a persisted signature store extended under a
+    different hash family would SILENTLY stop colliding with history
+    (pure recall loss, no error from Spark). The _params.json
+    fingerprint must refuse the mismatch at construction, and refuse a
+    legacy store with no fingerprint unless explicitly trusted."""
+    from dataclasses import replace
+    from pathlib import Path
+
+    pages = generate_pages(
+        spark, n_clusters=3, cluster_size=2, n_singletons=5, seed=7
+    ).select("doc_id", "text")
+    state = str(tmp_path / "state_fp")
+    inc = IncrementalDedup(state, CFG)
+    inc.process_batch(pages, 0)
+
+    IncrementalDedup(state, CFG)  # same config re-opens fine
+    with pytest.raises(ValueError, match="hash family"):
+        IncrementalDedup(state, replace(CFG, minhash_seed=43))
+    with pytest.raises(ValueError, match="hash family"):
+        IncrementalDedup(state, replace(CFG, shingle_size=7))
+
+    # legacy store: band history present, no fingerprint
+    (Path(state) / "_params.json").unlink()
+    with pytest.raises(ValueError, match="fingerprint"):
+        IncrementalDedup(state, CFG)
+    IncrementalDedup(state, CFG, trust_legacy_state=True)  # stamps it
+    IncrementalDedup(state, CFG)  # marker restored, re-opens fine

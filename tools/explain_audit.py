@@ -192,11 +192,25 @@ def main() -> int:
     # BroadcastHashJoin line and the BroadcastExchange line (the broadcast
     # subtree — the micro-batch side — is the right child and prints last;
     # its internal repartition Exchange is fine: it shuffles only the tiny
-    # batch, never the history)
-    hist_side = st.split("BroadcastExchange")[0].split("BroadcastHashJoin")[-1]
+    # batch, never the history). Slice only the TREE section of the
+    # formatted explain (before the first blank line) — the per-node
+    # details section repeats every operator name and would corrupt the
+    # slice — and demand the exact shape we parse (one BroadcastHashJoin,
+    # a BroadcastExchange after it): any layout drift FAILS the check
+    # instead of extracting an empty string that passes vacuously.
+    st_tree = st.split("\n\n", 1)[0]
+    shape_ok = (
+        st_tree.count("BroadcastHashJoin") == 1
+        and "BroadcastExchange" in st_tree.split("BroadcastHashJoin", 1)[1]
+    )
+    hist_side = (
+        st_tree.split("BroadcastHashJoin", 1)[1].split("BroadcastExchange")[0]
+        if shape_ok
+        else None
+    )
     check(
         "streaming history probe: batch side broadcast, history not re-shuffled",
-        "BroadcastHashJoin" in st and "Exchange" not in hist_side,
+        shape_ok and "Exchange" not in hist_side,
         "history_collisions broadcasts the micro-batch band rows and probes "
         "the persisted history scan in place "
         "(round-4 VERDICT #5: the old shuffle join re-partitioned the whole "
