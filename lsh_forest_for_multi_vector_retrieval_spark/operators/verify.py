@@ -54,9 +54,9 @@ def _join_shingles(
     would force a multi-GB hash relation past the
     autoBroadcastJoinThreshold, so oversized id sets fall back to a
     shuffle semi-join of the slim id column — still far cheaper than
-    shuffling the shingle arrays. The count is exact and nearly free:
-    the id table is eager-localCheckpointed (one long per row) so the
-    count and the semi-join share one materialization.
+    shuffling the shingle arrays. The gate costs one shuffle-free count
+    of the slim pair table (2*|pairs| bounds |ids| from above), not an
+    exact distinct count — see the inline note.
 
     The prune traverses the pair plan TWICE (the candidate-id distinct
     plus the pair join itself), so an UNCACHED ``pairs`` plan would
@@ -80,9 +80,16 @@ def _join_shingles(
             pairs.select(F.col("doc_a").alias(id_col))
             .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
             .distinct()
-            .localCheckpoint(eager=True)
         )
-        if cand_ids.count() <= max_broadcast_ids:
+        # Gate on a SHUFFLE-FREE upper bound: each pair contributes at
+        # most two ids, so 2*|pairs| >= |cand_ids|. One cheap count of
+        # the slim (checkpointed / parquet-backed) pair table instead of
+        # materializing the distinct twice — the exact-count variant
+        # measurably cost the 4-core scaling leg ~2 s of serial driver
+        # time (two extra job launches + a checkpointed shuffle) at 320k
+        # docs. Conservative only past max_broadcast_ids/2 pairs, where
+        # the shuffle semi-join fallback is the safe plan anyway.
+        if 2 * pairs.count() <= max_broadcast_ids:
             cand_ids = F.broadcast(cand_ids)
         docs = docs.join(cand_ids, id_col, "left_semi")
     cols = ["shingles"] + (["simhash"] if "simhash" in docs.columns else [])

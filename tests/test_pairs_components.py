@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from lsh_forest_for_multi_vector_retrieval_spark.config import DedupConfig
@@ -275,3 +277,47 @@ def test_candidate_pairs_unchanged_by_salting(sigs):
     off = candidate_pairs(bands, DedupConfig(salt_partitions=0))
     assert on.exceptAll(off).count() == 0
     assert off.exceptAll(on).count() == 0
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_cc_strategies_match_union_find_oracle(spark, edges_py):
+    """Property check on the core clusterer: on arbitrary small graphs
+    (self-loops, duplicates, reversed edges, disconnected vertices) all
+    three physical strategies — driver union-find, distributed star
+    contraction, distributed hash-min — must label every vertex with its
+    component MINIMUM, per an independent test-local union-find."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges_py:
+        parent[find(a)] = find(b)
+    want = {}
+    for v in parent:
+        want.setdefault(find(v), []).append(v)
+    expect = {v: min(vs) for vs in want.values() for v in vs}
+
+    edges = spark.createDataFrame(edges_py, "doc_a long, doc_b long")
+    got_driver = {
+        r.doc_id: r.cluster_id for r in connected_components(edges).collect()
+    }
+    assert got_driver == expect
+    for algo in ("star", "hashmin"):
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(
+                edges, driver_max_edges=0, algorithm=algo
+            ).collect()
+        }
+        assert got == expect, algo
