@@ -160,12 +160,16 @@ def main() -> int:
         f"{len(shuffle_ids)} materialized ShuffleQueryStages + "
         f"{len(bcast_ids)} broadcast-exchange node ids (signature "
         "repartition, salted bucket stage-1 groupBy + tiny pre-capped "
-        "stage-2 merge, pair distinct, CC label shuffle; the round-5 "
-        "verify semi-join prune replaced the corpus-wide verify-join "
-        "shuffle with broadcast probes, so the heavy verify Exchange is "
-        "gone). Round-4: +1 small shuffle by design — the two-stage "
-        "salted bucket cap that bounds collect_set memory by bucket/salt "
-        "(pairs.py::bucket_ids_capped)",
+        "stage-2 merge, pair distinct, CC label shuffle, plus the "
+        "candidate-id distinct lineage — previously hidden behind a "
+        "localCheckpoint that the round-5 shuffle-free broadcast gate "
+        "removed, so its two slim-column stages now SHOW in the plan "
+        "while the executed work went down (verify.py:80-92); the "
+        "round-5 verify semi-join prune replaced the corpus-wide "
+        "verify-join shuffle with broadcast probes, so the heavy verify "
+        "Exchange is gone). Round-4: +1 small shuffle by design — the "
+        "two-stage salted bucket cap that bounds collect_set memory by "
+        "bucket/salt (pairs.py::bucket_ids_capped)",
     )
     pr = sections[1][1]
     check("filter pushed to parquet scan", "PushedFilters" in pr and "lang" in pr)
