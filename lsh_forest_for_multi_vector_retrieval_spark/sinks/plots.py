@@ -1,0 +1,404 @@
+"""Plot sinks (SURVEY §2.8, op L7) — deterministic PNG charts with zero
+plotting dependencies.
+
+Reference analogs: the line / identity-scatter / trend-scatter /
+similarity-heatmap plots (/root/reference/src/shared/plotting.py:5-76)
+and the forest statistics panels
+(/root/reference/src/shared/forest_insights.py:190-275).
+
+The container has no matplotlib, so the raster path is a from-scratch
+stdlib PNG writer (zlib + struct, RGB8, filter 0 scanlines). The split is
+Spark-first: anything derived from a DataFrame is aggregated DISTRIBUTED
+down to ≤ ``bins`` rows (one min/max agg + one floor-bucket groupBy)
+before the driver rasterizes — a 10^12-row column histograms with two
+shuffles and a ≤bins-row collect, and driver memory is O(width × height)
+regardless of data size. The heatmap is an eval-scale sink like the
+reference's (a q×m pixel grid cannot meaningfully exceed screen size) and
+enforces ``max_side``.
+
+Determinism: fixed zlib level, no timestamp/tEXt chunks, stable bin
+edges → byte-identical PNGs for identical inputs (tested in
+tests/test_plot_sinks.py).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WHITE = (255, 255, 255)
+BLACK = (0, 0, 0)
+GRID = (220, 220, 220)
+BLUE = (31, 73, 212)
+RED = (214, 39, 40)
+LIGHTGREEN = (144, 238, 144)
+SALMON = (250, 128, 114)
+PURPLE = (147, 112, 219)
+
+# 3x5 bitmaps for numeric axis labels (no font rasterizer in stdlib).
+_FONT = {
+    "0": ("111", "101", "101", "101", "111"),
+    "1": ("010", "110", "010", "010", "111"),
+    "2": ("111", "001", "111", "100", "111"),
+    "3": ("111", "001", "111", "001", "111"),
+    "4": ("101", "101", "111", "001", "001"),
+    "5": ("111", "100", "111", "001", "111"),
+    "6": ("111", "100", "111", "101", "111"),
+    "7": ("111", "001", "010", "010", "010"),
+    "8": ("111", "101", "111", "101", "111"),
+    "9": ("111", "101", "111", "001", "111"),
+    "-": ("000", "000", "111", "000", "000"),
+    ".": ("000", "000", "000", "000", "010"),
+    "e": ("000", "111", "111", "100", "111"),
+    "+": ("000", "010", "111", "010", "000"),
+    " ": ("000", "000", "000", "000", "000"),
+}
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    body = tag + data
+    return struct.pack(">I", len(data)) + body + struct.pack(
+        ">I", zlib.crc32(body) & 0xFFFFFFFF
+    )
+
+
+def png_encode(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal RGB8 PNG: IHDR + one zlib IDAT (filter 0 per scanline) + IEND.
+    Fixed compression level and no ancillary chunks keep output
+    byte-deterministic."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} bytes, got {len(rgb)}")
+    raw = bytearray()
+    stride = width * 3
+    for y in range(height):
+        raw.append(0)  # filter type 0 (None)
+        raw += rgb[y * stride : (y + 1) * stride]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+class Canvas:
+    """Tiny driver-side rasterizer: rects, Bresenham lines (optionally
+    dashed), square markers, 3x5 digit labels."""
+
+    def __init__(self, width: int, height: int, bg=WHITE):
+        self.w, self.h = int(width), int(height)
+        self.buf = bytearray(bytes(bg) * (self.w * self.h))
+
+    def set(self, x: int, y: int, color) -> None:
+        if 0 <= x < self.w and 0 <= y < self.h:
+            i = (y * self.w + x) * 3
+            self.buf[i : i + 3] = bytes(color)
+
+    def fill_rect(self, x0: int, y0: int, x1: int, y1: int, color) -> None:
+        x0, x1 = max(0, min(x0, x1)), min(self.w - 1, max(x0, x1))
+        y0, y1 = max(0, min(y0, y1)), min(self.h - 1, max(y0, y1))
+        row = bytes(color) * (x1 - x0 + 1)
+        for y in range(y0, y1 + 1):
+            i = (y * self.w + x0) * 3
+            self.buf[i : i + len(row)] = row
+
+    def line(self, x0: int, y0: int, x1: int, y1: int, color, dash: int = 0) -> None:
+        dx, dy = abs(x1 - x0), -abs(y1 - y0)
+        sx, sy = (1 if x0 < x1 else -1), (1 if y0 < y1 else -1)
+        err, step = dx + dy, 0
+        while True:
+            if dash == 0 or (step // dash) % 2 == 0:
+                self.set(x0, y0, color)
+            if x0 == x1 and y0 == y1:
+                break
+            e2 = 2 * err
+            if e2 >= dy:
+                err += dy
+                x0 += sx
+            if e2 <= dx:
+                err += dx
+                y0 += sy
+            step += 1
+
+    def marker(self, x: int, y: int, color, size: int = 2) -> None:
+        self.fill_rect(x - size, y - size, x + size, y + size, color)
+
+    def text(self, x: int, y: int, s: str, color=BLACK) -> None:
+        for ch in s:
+            glyph = _FONT.get(ch, _FONT[" "])
+            for r, rowbits in enumerate(glyph):
+                for c, bit in enumerate(rowbits):
+                    if bit == "1":
+                        self.set(x + c, y + r, color)
+            x += 4
+
+    def to_png(self) -> bytes:
+        return png_encode(self.w, self.h, bytes(self.buf))
+
+    def save(self, path: str) -> str:
+        with open(path, "wb") as f:
+            f.write(self.to_png())
+        return path
+
+
+def _fmt(v: float) -> str:
+    s = "%g" % (round(float(v), 6) + 0.0)  # +0.0 folds -0.0
+    return s
+
+
+class _Axes:
+    """Plot frame + data→pixel transform + min/max tick labels."""
+
+    def __init__(self, cv: Canvas, x0, x1, y0, y1, *, ml=30, mr=10, mt=10, mb=14,
+                 ox=0, oy=0, pw=None, ph=None):
+        self.cv = cv
+        self.px0, self.py0 = ox + ml, oy + mt
+        self.px1 = ox + (pw if pw is not None else cv.w) - mr - 1
+        self.py1 = oy + (ph if ph is not None else cv.h) - mb - 1
+        self.x0, self.x1 = float(x0), float(x1)
+        self.y0, self.y1 = float(y0), float(y1)
+        if self.x1 <= self.x0:
+            self.x1 = self.x0 + 1.0
+        if self.y1 <= self.y0:
+            self.y1 = self.y0 + 1.0
+        # frame + light grid (the reference's grid(True))
+        for g in range(1, 4):
+            gx = self.px0 + (self.px1 - self.px0) * g // 4
+            gy = self.py0 + (self.py1 - self.py0) * g // 4
+            cv.line(gx, self.py0, gx, self.py1, GRID)
+            cv.line(self.px0, gy, self.px1, gy, GRID)
+        cv.line(self.px0, self.py0, self.px0, self.py1, BLACK)
+        cv.line(self.px0, self.py1, self.px1, self.py1, BLACK)
+        cv.text(self.px0 + 1, self.py1 + 3, _fmt(self.x0))
+        lbl = _fmt(self.x1)
+        cv.text(self.px1 - 4 * len(lbl), self.py1 + 3, lbl)
+        cv.text(max(0, self.px0 - 4 * len(_fmt(self.y1)) - 2), self.py0, _fmt(self.y1))
+        cv.text(max(0, self.px0 - 4 * len(_fmt(self.y0)) - 2), self.py1 - 5, _fmt(self.y0))
+
+    def px(self, x: float) -> int:
+        return self.px0 + round((float(x) - self.x0) / (self.x1 - self.x0)
+                                * (self.px1 - self.px0))
+
+    def py(self, y: float) -> int:
+        return self.py1 - round((float(y) - self.y0) / (self.y1 - self.y0)
+                                * (self.py1 - self.py0))
+
+
+def line_png(path: str, x: Sequence[float], y: Sequence[float],
+             width: int = 640, height: int = 480, color=BLUE) -> str:
+    """Marker line plot — the reference's ``plot`` (plotting.py:5-12)."""
+    if len(x) != len(y) or not x:
+        raise ValueError("x and y must be equal-length and non-empty")
+    cv = Canvas(width, height)
+    ax = _Axes(cv, min(x), max(x), min(y), max(y))
+    pts = [(ax.px(a), ax.py(b)) for a, b in zip(x, y)]
+    for (a0, b0), (a1, b1) in zip(pts, pts[1:]):
+        cv.line(a0, b0, a1, b1, color)
+    for a, b in pts:
+        cv.marker(a, b, color)
+    return cv.save(path)
+
+
+def scatter_identity_png(path: str, x: Sequence[float], y: Sequence[float],
+                         width: int = 640, height: int = 480) -> str:
+    """Scatter + dashed red y=x — ``plot_with_identity_line``
+    (plotting.py:14-32)."""
+    if len(x) != len(y) or not x:
+        raise ValueError("x and y must be equal-length and non-empty")
+    lo, hi = min(min(x), min(y)), max(max(x), max(y))
+    cv = Canvas(width, height)
+    ax = _Axes(cv, lo, hi, lo, hi)
+    cv.line(ax.px(lo), ax.py(lo), ax.px(hi), ax.py(hi), RED, dash=4)
+    for a, b in zip(x, y):
+        cv.marker(ax.px(a), ax.py(b), BLUE)
+    return cv.save(path)
+
+
+def scatter_trend_png(path: str, x: Sequence[float], y: Sequence[float],
+                      deg: int = 1, width: int = 640, height: int = 480) -> str:
+    """Scatter + dashed least-squares trend — ``plot_with_trendline``
+    (plotting.py:34-51)."""
+    if len(x) != len(y) or len(x) <= deg:
+        raise ValueError("need more points than the polynomial degree")
+    xs, ys = np.asarray(x, dtype=float), np.asarray(y, dtype=float)
+    coeffs = np.polyfit(xs, ys, deg=deg)
+    grid = np.linspace(xs.min(), xs.max(), 200)
+    fit = np.polyval(coeffs, grid)
+    cv = Canvas(width, height)
+    ax = _Axes(cv, xs.min(), xs.max(),
+               min(ys.min(), fit.min()), max(ys.max(), fit.max()))
+    pts = [(ax.px(a), ax.py(b)) for a, b in zip(grid, fit)]
+    for (a0, b0), (a1, b1) in zip(pts, pts[1:]):
+        cv.line(a0, b0, a1, b1, BLACK, dash=3)
+    for a, b in zip(xs, ys):
+        cv.marker(ax.px(a), ax.py(b), BLUE)
+    return cv.save(path)
+
+
+def _bwr(t: float) -> tuple:
+    """Diverging blue-white-red map on [-1, 1] (the reference's ``bwr``)."""
+    t = max(-1.0, min(1.0, t))
+    if t < 0:
+        f = 1.0 + t
+        return (round(255 * f), round(255 * f), 255)
+    f = 1.0 - t
+    return (255, round(255 * f), round(255 * f))
+
+
+def similarity_heatmap_png(path: str, query_vecs, doc_vecs, gamma: float = 2.0,
+                           cell: int = 8, max_side: int = 512) -> str:
+    """Power-law cosine heatmap — ``plot_similarity_heatmap``
+    (plotting.py:53-76). Eval-scale by construction (a q×m pixel grid);
+    ``max_side`` guards against accidentally passing a corpus."""
+    q = np.asarray(query_vecs, dtype=float)
+    d = np.asarray(doc_vecs, dtype=float)
+    if q.ndim != 2 or d.ndim != 2 or q.shape[1] != d.shape[1]:
+        raise ValueError("query_vecs and doc_vecs must be 2-D with equal dim")
+    if q.shape[0] > max_side or d.shape[0] > max_side:
+        raise ValueError(
+            f"heatmap sides capped at {max_side} (got {q.shape[0]}x{d.shape[0]}); "
+            "aggregate or sample first — this is an eval-scale sink"
+        )
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    dn = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+    sim = qn @ dn.T
+    transformed = np.sign(sim) * (np.abs(sim) ** gamma)
+    cv = Canvas(d.shape[0] * cell, q.shape[0] * cell)
+    for i in range(q.shape[0]):
+        for j in range(d.shape[0]):
+            cv.fill_rect(j * cell, i * cell, (j + 1) * cell - 1,
+                         (i + 1) * cell - 1, _bwr(transformed[i, j]))
+    return cv.save(path)
+
+
+def histogram_bins(df: DataFrame, col: str, bins: int = 30,
+                   weight_col: str | None = None) -> list:
+    """Distributed fixed-width binning: one min/max agg + one floor-bucket
+    groupBy; returns ≤ ``bins`` rows of (bin_lo, bin_hi, count) to the
+    driver. Nulls are dropped. A constant column degenerates to one bin."""
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    c = F.col(col).cast("double")
+    vals = df.where(c.isNotNull())
+    ext = vals.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
+    if ext is None or ext["lo"] is None:
+        return []
+    lo, hi = float(ext["lo"]), float(ext["hi"])
+    if hi <= lo:
+        w = F.lit(1) if weight_col is None else F.col(weight_col)
+        n = vals.agg(F.sum(w).alias("n")).first()["n"]
+        return [(lo, lo, int(n))]
+    width = (hi - lo) / bins
+    bin_expr = F.least(
+        F.floor((c - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(bins - 1)
+    ).alias("bin")
+    w = F.lit(1) if weight_col is None else F.col(weight_col)
+    rows = (
+        vals.select(bin_expr, w.alias("w"))
+        .groupBy("bin")
+        .agg(F.sum("w").alias("n"))
+        .orderBy("bin")
+        .collect()
+    )
+    return [(lo + r["bin"] * width, lo + (r["bin"] + 1) * width, int(r["n"]))
+            for r in rows]
+
+
+def _render_hist(cv: Canvas, binrows: list, color, *, ox=0, oy=0,
+                 pw=None, ph=None) -> None:
+    if not binrows:
+        raise ValueError("no data to histogram")
+    top = max(n for _, _, n in binrows)
+    ax = _Axes(cv, binrows[0][0], binrows[-1][1], 0, top,
+               ox=ox, oy=oy, pw=pw, ph=ph)
+    for blo, bhi, n in binrows:
+        x0, x1 = ax.px(blo), ax.px(bhi)
+        y = ax.py(n)
+        if x1 > x0 + 1:
+            cv.fill_rect(x0 + 1, y, x1 - 1, ax.py1 - 1, color)
+        cv.line(x0, y, x1, y, BLACK)
+        cv.line(x0, y, x0, ax.py1, BLACK)
+        cv.line(x1, y, x1, ax.py1, BLACK)
+
+
+def histogram_png(df: DataFrame, col: str, path: str, bins: int = 30,
+                  width: int = 640, height: int = 480, color=LIGHTGREEN,
+                  weight_col: str | None = None) -> str:
+    """Histogram sink over a DataFrame column — the reference's
+    ``ax1.hist(...)`` / trial-attempts histogram
+    (forest_insights.py:229-233, :267-275), binned in Spark."""
+    cv = Canvas(width, height)
+    _render_hist(cv, histogram_bins(df, col, bins, weight_col), color)
+    return cv.save(path)
+
+
+def cluster_size_histogram_png(assignments: DataFrame, path: str,
+                               bins: int = 30, cluster_col: str = "cluster_id",
+                               width: int = 640, height: int = 480) -> str:
+    """Flagship-pipeline sink: histogram of dedup cluster sizes. Two
+    distributed aggs (groupBy cluster → count, then binning); the driver
+    only ever sees ≤ ``bins`` rows."""
+    sizes = assignments.groupBy(cluster_col).agg(F.count("*").alias("cluster_n"))
+    cv = Canvas(width, height)
+    _render_hist(cv, histogram_bins(sizes, "cluster_n", bins), LIGHTGREEN)
+    return cv.save(path)
+
+
+def forest_statistics_png(bands: DataFrame, path: str, bins: int = 30,
+                          width: int = 900, height: int = 640) -> str:
+    """2×2 forest statistics panel — ``plot_statistics``
+    (forest_insights.py:190-262) over the materialized band tables:
+    (1) bucket-size distribution, (2) buckets per depth, (3) average
+    bucket size by depth, (4) docs per depth. One distributed pass builds
+    a per-bucket table; every panel renders from ≤ ``bins``-row collects."""
+    buckets = bands.groupBy("band_id", "depth", "band_hash").agg(
+        F.count("*").alias("bucket_n")
+    )
+    per_depth = (
+        buckets.groupBy("depth")
+        .agg(
+            F.count("*").alias("num_buckets"),
+            F.avg("bucket_n").alias("avg_bucket_n"),
+            F.sum("bucket_n").alias("docs"),
+        )
+        .orderBy("depth")
+        .collect()
+    )
+    if not per_depth:
+        raise ValueError("empty band table")
+    cv = Canvas(width, height)
+    hw, hh = width // 2, height // 2
+    # (1) bucket-size distribution (hist, distributed binning)
+    _render_hist(cv, histogram_bins(buckets, "bucket_n", bins), LIGHTGREEN,
+                 ox=0, oy=0, pw=hw, ph=hh)
+    # (2) buckets per depth (bar)
+    depths = [r["depth"] for r in per_depth]
+    nb = [r["num_buckets"] for r in per_depth]
+    ax2 = _Axes(cv, min(depths), max(depths), 0, max(nb), ox=hw, oy=0, pw=hw, ph=hh)
+    bw = max(2, (ax2.px1 - ax2.px0) // (2 * max(1, len(depths))))
+    for d, n in zip(depths, nb):
+        x = ax2.px(d)
+        cv.fill_rect(x - bw // 2, ax2.py(n), x + bw // 2, ax2.py1 - 1, SALMON)
+    # (3) average bucket size by depth (line, 'o-' blue)
+    avg = [float(r["avg_bucket_n"]) for r in per_depth]
+    ax3 = _Axes(cv, min(depths), max(depths), 0, max(avg), ox=0, oy=hh, pw=hw, ph=hh)
+    pts = [(ax3.px(d), ax3.py(v)) for d, v in zip(depths, avg)]
+    for (a0, b0), (a1, b1) in zip(pts, pts[1:]):
+        cv.line(a0, b0, a1, b1, BLUE)
+    for a, b in pts:
+        cv.marker(a, b, BLUE)
+    # (4) docs per depth (line, 'd-' purple)
+    docs = [r["docs"] for r in per_depth]
+    ax4 = _Axes(cv, min(depths), max(depths), 0, max(docs), ox=hw, oy=hh, pw=hw, ph=hh)
+    pts = [(ax4.px(d), ax4.py(v)) for d, v in zip(depths, docs)]
+    for (a0, b0), (a1, b1) in zip(pts, pts[1:]):
+        cv.line(a0, b0, a1, b1, PURPLE)
+    for a, b in pts:
+        cv.marker(a, b, PURPLE)
+    return cv.save(path)

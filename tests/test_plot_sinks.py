@@ -1,0 +1,139 @@
+"""Plot sinks (op L7): valid deterministic PNGs whose pixels match the
+aggregates — decoded by an independent minimal PNG reader (stdlib zlib),
+not by the writer's own code path."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from lsh_forest_for_multi_vector_retrieval_spark.sinks import plots as P
+
+
+def decode_png(data: bytes):
+    """Independent minimal decoder: parse chunks, inflate IDAT, undo
+    per-scanline filters (only type 0 is expected from the writer)."""
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, idat, w = 8, b"", None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        crc = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])[0]
+        assert crc == zlib.crc32(tag + body) & 0xFFFFFFFF
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            assert (depth, ctype) == (8, 2)
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = w * 3
+    px = {}
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        assert row[0] == 0, "writer promises filter type 0"
+        for x in range(w):
+            px[(x, y)] = tuple(row[1 + 3 * x : 4 + 3 * x])
+    return w, h, px
+
+
+def test_png_roundtrip_exact_pixels(tmp_path):
+    cv = P.Canvas(8, 4)
+    cv.fill_rect(2, 1, 5, 2, P.RED)
+    out = tmp_path / "rect.png"
+    cv.save(str(out))
+    w, h, px = decode_png(out.read_bytes())
+    assert (w, h) == (8, 4)
+    assert px[(2, 1)] == P.RED and px[(5, 2)] == P.RED
+    assert px[(0, 0)] == P.WHITE and px[(6, 1)] == P.WHITE
+
+
+def test_histogram_bins_distributed(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(10)], ["v"])
+    bins = P.histogram_bins(df, "v", bins=2)
+    assert [(lo, hi, n) for lo, hi, n in bins] == [(0.0, 4.5, 5), (4.5, 9.0, 5)]
+    # weighted + constant-column degenerate cases
+    wdf = spark.createDataFrame([(3.0, 4), (3.0, 6)], ["v", "w"])
+    assert P.histogram_bins(wdf, "v", bins=5, weight_col="w") == [(3.0, 3.0, 10)]
+    assert P.histogram_bins(df.where("v < 0"), "v") == []
+
+
+def test_histogram_png_bar_heights(spark, tmp_path):
+    # 2 values in bin 0, 8 in bin 1 -> right bar 4x the left bar's height
+    df = spark.createDataFrame([(0.0,), (0.4,)] + [(1.0,)] * 8, ["v"])
+    out = str(tmp_path / "h.png")
+    P.histogram_png(df, "v", out, bins=2, width=200, height=150)
+    w, h, px = decode_png(open(out, "rb").read())
+    green_cols = {}
+    for (x, y), c in px.items():
+        if c == P.LIGHTGREEN:
+            green_cols.setdefault(x, []).append(y)
+    assert green_cols, "no bars rendered"
+    heights = {x: max(ys) - min(ys) + 1 for x, ys in green_cols.items()}
+    left = max(h for x, h in heights.items() if x < 100)
+    right = max(h for x, h in heights.items() if x >= 100)
+    assert right / left == pytest.approx(4.0, rel=0.15)
+
+
+def test_determinism_byte_identical(spark, tmp_path):
+    df = spark.createDataFrame([(float(i % 7),) for i in range(50)], ["v"])
+    a, b = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    P.histogram_png(df, "v", a, bins=7)
+    P.histogram_png(df, "v", b, bins=7)
+    assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_scatter_identity_has_red_diagonal(tmp_path):
+    out = str(tmp_path / "s.png")
+    P.scatter_identity_png(out, [0.0, 1.0, 2.0], [0.0, 1.5, 1.8],
+                           width=200, height=200)
+    _, _, px = decode_png(open(out, "rb").read())
+    assert any(c == P.RED for c in px.values()), "identity line missing"
+    assert any(c == P.BLUE for c in px.values()), "scatter markers missing"
+
+
+def test_line_and_trend_render(tmp_path):
+    P.line_png(str(tmp_path / "l.png"), [0, 1, 2, 3], [1.0, 3.0, 2.0, 5.0])
+    P.scatter_trend_png(str(tmp_path / "t.png"),
+                        [0.0, 1.0, 2.0, 3.0], [0.1, 0.9, 2.1, 2.9])
+    for name in ("l.png", "t.png"):
+        w, h, _ = decode_png(open(str(tmp_path / name), "rb").read())
+        assert (w, h) == (640, 480)
+
+
+def test_heatmap_colors_match_cosine(tmp_path):
+    out = str(tmp_path / "hm.png")
+    # q0 == d0 (cos +1 -> red cell), q0 == -d1 (cos -1 -> blue cell)
+    P.similarity_heatmap_png(out, [[1.0, 0.0]], [[1.0, 0.0], [-1.0, 0.0]],
+                             gamma=2.0, cell=4)
+    w, h, px = decode_png(open(out, "rb").read())
+    assert (w, h) == (8, 4)
+    assert px[(1, 1)] == (255, 0, 0)  # +1 -> pure red
+    assert px[(5, 1)] == (0, 0, 255)  # -1 -> pure blue
+    with pytest.raises(ValueError):
+        P.similarity_heatmap_png(out, [[1.0, 0.0]] * 600, [[1.0, 0.0]])
+
+
+def test_forest_statistics_png(spark, tmp_path):
+    from lsh_forest_for_multi_vector_retrieval_spark.config import DedupConfig
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.bands import (
+        adaptive_band_table,
+        with_signatures,
+    )
+    from lsh_forest_for_multi_vector_retrieval_spark.sources.pages import (
+        generate_pages,
+    )
+
+    cfg = DedupConfig(adaptive_max_bucket=2, adaptive_max_extra_rows=3)
+    pages = generate_pages(spark, n_clusters=10, cluster_size=3, n_singletons=30)
+    sigs = with_signatures(pages.select("doc_id", "text"), cfg)
+    bands = adaptive_band_table(sigs, cfg)
+    out = str(tmp_path / "forest.png")
+    P.forest_statistics_png(bands, out, bins=10, width=400, height=300)
+    w, h, px = decode_png(open(out, "rb").read())
+    assert (w, h) == (400, 300)
+    assert any(c == P.LIGHTGREEN for c in px.values())
+    assert any(c == P.SALMON for c in px.values())
