@@ -1,5 +1,6 @@
 from lsh_forest_for_multi_vector_retrieval_spark.sinks.plots import (
     cluster_size_histogram_png,
+    dedup_report_pngs,
     forest_statistics_png,
     histogram_bins,
     histogram_png,
@@ -11,6 +12,7 @@ from lsh_forest_for_multi_vector_retrieval_spark.sinks.plots import (
 
 __all__ = [
     "cluster_size_histogram_png",
+    "dedup_report_pngs",
     "forest_statistics_png",
     "histogram_bins",
     "histogram_png",

@@ -350,6 +350,50 @@ def cluster_size_histogram_png(assignments: DataFrame, path: str,
     return cv.save(path)
 
 
+def dedup_report_pngs(out_dir: str, *, clusters: DataFrame | None = None,
+                      verified: DataFrame | None = None,
+                      bands: DataFrame | None = None,
+                      run=None, bins: int = 30) -> dict:
+    """Diagnostic chart bundle for a dedup pipeline run — the reference's
+    ``save=True`` plot sinks (forest_insights.py:262-275) over the
+    engine's checkpointed stage outputs. Accepts a
+    ``plans.pipeline.PipelineRun`` (duck-typed: anything with
+    ``.outputs``) and/or explicit DataFrames; writes whichever charts its
+    inputs allow and returns ``{chart_name: path}``. Every chart
+    aggregates distributed before a ≤bins-row collect, so this is safe to
+    call after a web-scale run."""
+    import os
+
+    if run is not None:
+        outs = run.outputs
+        clusters = clusters if clusters is not None else outs.get("clusters")
+        verified = verified if verified is not None else outs.get("verified")
+        bands = bands if bands is not None else outs.get("bands")
+    os.makedirs(out_dir, exist_ok=True)
+    written = {}
+    if clusters is not None:
+        written["cluster_sizes"] = cluster_size_histogram_png(
+            clusters, os.path.join(out_dir, "cluster_sizes.png"), bins
+        )
+    if verified is not None:
+        written["jaccard_hist"] = histogram_png(
+            verified, "jaccard", os.path.join(out_dir, "jaccard_hist.png"), bins
+        )
+    if bands is not None:
+        if "depth" in bands.columns:
+            written["forest_stats"] = forest_statistics_png(
+                bands, os.path.join(out_dir, "forest_stats.png"), bins
+            )
+        else:  # fixed-depth band table: bucket-size distribution only
+            buckets = bands.groupBy("band_id", "band_hash").agg(
+                F.count("*").alias("bucket_n")
+            )
+            written["bucket_sizes"] = histogram_png(
+                buckets, "bucket_n", os.path.join(out_dir, "bucket_sizes.png"), bins
+            )
+    return written
+
+
 def forest_statistics_png(bands: DataFrame, path: str, bins: int = 30,
                           width: int = 900, height: int = 640) -> str:
     """2×2 forest statistics panel — ``plot_statistics``

@@ -117,6 +117,27 @@ def test_heatmap_colors_match_cosine(tmp_path):
         P.similarity_heatmap_png(out, [[1.0, 0.0]] * 600, [[1.0, 0.0]])
 
 
+def test_dedup_report_pngs_from_pipeline_run(spark, tmp_path):
+    from lsh_forest_for_multi_vector_retrieval_spark.config import DedupConfig
+    from lsh_forest_for_multi_vector_retrieval_spark.plans.pipeline import (
+        dedup_pipeline,
+    )
+    from lsh_forest_for_multi_vector_retrieval_spark.sources.pages import (
+        generate_pages,
+    )
+
+    corpus = str(tmp_path / "pages.parquet")
+    generate_pages(spark, n_clusters=8, cluster_size=3, n_singletons=20,
+                   seed=11).write.parquet(corpus)
+    run = dedup_pipeline(corpus, str(tmp_path / "wd"), DedupConfig()).run(spark)
+    written = P.dedup_report_pngs(str(tmp_path / "charts"), run=run, bins=8)
+    # fixed-depth pipeline bands -> bucket_sizes (not forest_stats)
+    assert set(written) == {"cluster_sizes", "jaccard_hist", "bucket_sizes"}
+    for p in written.values():
+        w, h, _ = decode_png(open(p, "rb").read())
+        assert (w, h) == (640, 480)
+
+
 def test_forest_statistics_png(spark, tmp_path):
     from lsh_forest_for_multi_vector_retrieval_spark.config import DedupConfig
     from lsh_forest_for_multi_vector_retrieval_spark.operators.bands import (
