@@ -56,6 +56,7 @@ _FONT = {
     ".": ("000", "000", "000", "000", "010"),
     "e": ("000", "111", "111", "100", "111"),
     "+": ("000", "010", "111", "010", "000"),
+    "x": ("000", "101", "010", "101", "000"),
     " ": ("000", "000", "000", "000", "000"),
 }
 
@@ -202,6 +203,40 @@ def line_png(path: str, x: Sequence[float], y: Sequence[float],
         cv.line(a0, b0, a1, b1, color)
     for a, b in pts:
         cv.marker(a, b, color)
+    return cv.save(path)
+
+
+SERIES_COLORS = (BLUE, RED, (34, 139, 34), PURPLE, (255, 140, 0), BLACK)
+
+
+def multi_line_png(path: str, series: dict, width: int = 640,
+                   height: int = 480) -> str:
+    """Overlaid marker line plots with a legend — the summary panels of
+    the reference's experiment sweep overlay one series per config
+    (test_forest_vote.py:464-502, hue=popularity). ``series`` maps a
+    label (digits / x / - / . only, e.g. "16x8") to an (xs, ys) pair;
+    colors cycle through ``SERIES_COLORS`` in insertion order."""
+    if not series:
+        raise ValueError("series must be non-empty")
+    for label, (xs, ys) in series.items():
+        if len(xs) != len(ys) or not xs:
+            raise ValueError(f"series {label!r}: x and y must be "
+                             "equal-length and non-empty")
+    all_x = [v for xs, _ in series.values() for v in xs]
+    all_y = [v for _, ys in series.values() for v in ys]
+    cv = Canvas(width, height)
+    ax = _Axes(cv, min(all_x), max(all_x), min(all_y), max(all_y))
+    for i, (label, (xs, ys)) in enumerate(series.items()):
+        color = SERIES_COLORS[i % len(SERIES_COLORS)]
+        pts = sorted((ax.px(a), ax.py(b)) for a, b in zip(xs, ys))
+        for (a0, b0), (a1, b1) in zip(pts, pts[1:]):
+            cv.line(a0, b0, a1, b1, color)
+        for a, b in pts:
+            cv.marker(a, b, color)
+        # legend entry: swatch + label, top-left inside the frame
+        ly = ax.py0 + 4 + i * 10
+        cv.fill_rect(ax.px0 + 4, ly + 1, ax.px0 + 10, ly + 4, color)
+        cv.text(ax.px0 + 14, ly, str(label), color)
     return cv.save(path)
 
 

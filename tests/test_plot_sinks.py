@@ -95,6 +95,56 @@ def test_scatter_identity_has_red_diagonal(tmp_path):
     assert any(c == P.BLUE for c in px.values()), "scatter markers missing"
 
 
+def test_multi_line_series_colors_and_legend(tmp_path):
+    out = str(tmp_path / "m.png")
+    series = {
+        "8x16": ([0.7, 0.8, 0.9], [0.99, 0.95, 0.60]),
+        "16x8": ([0.7, 0.8, 0.9], [0.98, 0.97, 0.85]),
+        "32x4": ([0.7, 0.8, 0.9], [0.99, 0.99, 0.97]),
+    }
+    P.multi_line_png(out, series, width=300, height=220)
+    _, _, px = decode_png(open(out, "rb").read())
+    for i in range(len(series)):
+        color = P.SERIES_COLORS[i]
+        assert any(c == color for c in px.values()), f"series {i} missing"
+    # legend swatches stack top-left inside the frame, one per series
+    swatch_ys = sorted({y for (x, y), c in px.items()
+                        if x < 60 and c in P.SERIES_COLORS[:3]})
+    assert len(swatch_ys) >= 6  # 3 swatches x >=2 rows each
+    # determinism
+    out2 = str(tmp_path / "m2.png")
+    P.multi_line_png(out2, series, width=300, height=220)
+    assert open(out, "rb").read() == open(out2, "rb").read()
+    with pytest.raises(ValueError):
+        P.multi_line_png(out, {})
+    with pytest.raises(ValueError):
+        P.multi_line_png(out, {"a": ([1.0], [1.0, 2.0])})
+
+
+def test_write_sweep_artifacts(tmp_path):
+    import csv
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from grid_sweep import write_sweep_artifacts
+
+    rows = [
+        {"num_bands": nb, "rows_per_band": rpb, "jaccard_threshold": t,
+         "recall": 0.9 + 0.01 * nb / 8, "precision": 0.8 + t / 10}
+        for nb, rpb in [(8, 16), (16, 8)]
+        for t in (0.7, 0.8, 0.9)
+    ]
+    written = write_sweep_artifacts(rows, out_dir=str(tmp_path / "charts"))
+    assert len(written) == 3
+    with open(written[0]) as f:
+        assert len(list(csv.DictReader(f))) == len(rows)
+    for png in written[1:]:
+        w, h, px = decode_png(open(png, "rb").read())
+        assert (w, h) == (640, 480)
+        assert any(c == P.SERIES_COLORS[1] for c in px.values())
+
+
 def test_line_and_trend_render(tmp_path):
     P.line_png(str(tmp_path / "l.png"), [0, 1, 2, 3], [1.0, 3.0, 2.0, 5.0])
     P.scatter_trend_png(str(tmp_path / "t.png"),

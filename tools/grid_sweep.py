@@ -10,11 +10,16 @@ rebuilds only the band/pair stages; each threshold re-verifies from the
 same candidates.
 
 Run: PYTHONPATH=/root/repo python tools/grid_sweep.py
-Writes GRID_SWEEP.json (one row per config).
+Writes GRID_SWEEP.json (one row per config) plus the reference's sweep
+artifacts (test_forest_vote.py:437-461: all_experiment_results.csv +
+experiment_summary.png): grid_sweep_results.csv and two summary panels
+(recall / precision vs threshold, one series per band shape) under
+charts/.
 """
 
 from __future__ import annotations
 
+import csv
 import json
 import sys
 import time
@@ -115,8 +120,42 @@ def main() -> None:
         "grid": rows,
     }
     Path("GRID_SWEEP.json").write_text(json.dumps(out, indent=2))
+    write_sweep_artifacts(rows)
     spark.stop()
     print(f"wrote GRID_SWEEP.json ({len(rows)} configs)")
+
+
+def write_sweep_artifacts(rows: list, out_dir: str = "charts") -> list:
+    """CSV + summary plots for a finished sweep — the reference's
+    run_experiments sinks (test_forest_vote.py:437: results_df.to_csv
+    ('all_experiment_results.csv'); :464-502: lineplots hued by config →
+    experiment_summary.png). One series per band shape, recall and
+    precision vs threshold."""
+    from lsh_forest_for_multi_vector_retrieval_spark.sinks.plots import (
+        multi_line_png,
+    )
+
+    d = Path(out_dir)
+    d.mkdir(exist_ok=True)
+    written = []
+    csv_path = d / "grid_sweep_results.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+    written.append(str(csv_path))
+    for metric in ("recall", "precision"):
+        series: dict[str, tuple[list, list]] = {}
+        for r in rows:
+            label = f"{r['num_bands']}x{r['rows_per_band']}"
+            xs, ys = series.setdefault(label, ([], []))
+            xs.append(r["jaccard_threshold"])
+            ys.append(r[metric])
+        written.append(
+            multi_line_png(str(d / f"sweep_{metric}.png"), series)
+        )
+    print(f"wrote {written}")
+    return written
 
 
 if __name__ == "__main__":
