@@ -58,6 +58,33 @@ _FONT = {
     "+": ("000", "010", "111", "010", "000"),
     "x": ("000", "101", "010", "101", "000"),
     " ": ("000", "000", "000", "000", "000"),
+    # minimal lowercase set so legends can carry words ("ideal",
+    # "measured", "valid") rather than cryptic codes
+    "a": ("111", "101", "111", "101", "101"),
+    "b": ("110", "101", "110", "101", "110"),
+    "c": ("111", "100", "100", "100", "111"),
+    "d": ("110", "101", "101", "101", "110"),
+    "f": ("111", "100", "110", "100", "100"),
+    "g": ("111", "100", "101", "101", "111"),
+    "h": ("101", "101", "111", "101", "101"),
+    "i": ("111", "010", "010", "010", "111"),
+    "j": ("001", "001", "001", "101", "111"),
+    "k": ("101", "110", "100", "110", "101"),
+    "l": ("100", "100", "100", "100", "111"),
+    "m": ("101", "111", "111", "101", "101"),
+    "n": ("110", "101", "101", "101", "101"),
+    "o": ("111", "101", "101", "101", "111"),
+    "p": ("111", "101", "111", "100", "100"),
+    "q": ("111", "101", "101", "111", "001"),
+    "r": ("111", "101", "110", "101", "101"),
+    "s": ("111", "100", "111", "001", "111"),
+    "t": ("111", "010", "010", "010", "010"),
+    "u": ("101", "101", "101", "101", "111"),
+    "v": ("101", "101", "101", "101", "010"),
+    "w": ("101", "101", "111", "111", "101"),
+    "y": ("101", "101", "010", "010", "010"),
+    "z": ("111", "001", "010", "100", "111"),
+    "/": ("001", "001", "010", "100", "100"),
 }
 
 
@@ -214,7 +241,8 @@ def multi_line_png(path: str, series: dict, width: int = 640,
     """Overlaid marker line plots with a legend — the summary panels of
     the reference's experiment sweep overlay one series per config
     (test_forest_vote.py:464-502, hue=popularity). ``series`` maps a
-    label (digits / x / - / . only, e.g. "16x8") to an (xs, ys) pair;
+    label (digits / lowercase / x / - / . , e.g. "16x8", "ideal") to an
+    (xs, ys) pair;
     colors cycle through ``SERIES_COLORS`` in insertion order."""
     if not series:
         raise ValueError("series must be non-empty")

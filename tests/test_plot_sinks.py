@@ -208,3 +208,50 @@ def test_forest_statistics_png(spark, tmp_path):
     assert (w, h) == (400, 300)
     assert any(c == P.LIGHTGREEN for c in px.values())
     assert any(c == P.SALMON for c in px.values())
+
+
+def test_plot_scaling_artifact(tmp_path):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plot_scaling import plot_scaling_artifact
+
+    artifact = {
+        "probe_gated": {"valid_pair_indices": [0, 2]},
+        "pairwise_efficiency": [0.88, 0.30, 0.85],
+        "all_samples": {"1": [200.0, 210.0, 205.0], "4": [57.0, 170.0, 60.0]},
+        "runs": {
+            "1": {"cpus": 1, "docs_per_sec": 1600.0},
+            "4": {"cpus": 4, "docs_per_sec": 5400.0},
+        },
+    }
+    written = plot_scaling_artifact(artifact, out_dir=str(tmp_path / "c"))
+    assert [Path(p).name for p in written] == [
+        "scaling_efficiency.png", "scaling_walls.png",
+        "scaling_throughput.png"]
+    for p in written:
+        w, h, px = decode_png(open(p, "rb").read())
+        assert (w, h) == (640, 480)
+        # at least two series colors present in every panel
+        assert any(c == P.SERIES_COLORS[0] for c in px.values())
+        assert any(c == P.SERIES_COLORS[1] for c in px.values())
+    # determinism across a second render
+    again = plot_scaling_artifact(artifact, out_dir=str(tmp_path / "c2"))
+    for a, b in zip(written, again):
+        assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_font_lowercase_glyphs_render():
+    cv = P.Canvas(120, 12)
+    cv.text(2, 2, "measured/ideal valid", P.BLACK)
+    # every glyph is 3x5 — a word must light up black pixels spanning
+    # most of its width; blank (unknown) glyphs would leave gaps only
+    black_cols = {x for x in range(120)
+                  for y in range(12)
+                  if cv.buf[(y * 120 + x) * 3] == 0
+                  and cv.buf[(y * 120 + x) * 3 + 1] == 0}
+    # 20 chars x 4px pitch, the two spaces and narrow glyphs leave gaps;
+    # require coverage across the full span
+    assert min(black_cols) <= 3 and max(black_cols) >= 70
+    assert len(black_cols) >= 40
