@@ -268,6 +268,33 @@ def multi_line_png(path: str, series: dict, width: int = 640,
     return cv.save(path)
 
 
+def hbar_png(path: str, items: dict, width: int = 640,
+             height: int = 480, color=BLUE) -> str:
+    """Horizontal bar chart — labeled categories (e.g. per-query bench
+    seconds), the reference's summary bar panels. ``items`` maps label →
+    non-negative value; bars render in insertion order, value printed at
+    each bar's end."""
+    if not items:
+        raise ValueError("items must be non-empty")
+    vals = [float(v) for v in items.values()]
+    if min(vals) < 0:
+        raise ValueError("hbar values must be non-negative")
+    cv = Canvas(width, height)
+    label_w = 4 * max(len(str(k)) for k in items) + 6
+    ml = min(label_w, width // 2)
+    ax = _Axes(cv, 0.0, max(vals), 0.0, float(len(items)), ml=ml)
+    band = (ax.py1 - ax.py0) / len(items)
+    for i, (label, v) in enumerate(items.items()):
+        y0 = ax.py0 + round(i * band) + 2
+        y1 = ax.py0 + round((i + 1) * band) - 2
+        x1 = ax.px(float(v))
+        cv.fill_rect(ax.px0 + 1, y0, max(ax.px0 + 1, x1), y1, color)
+        ty = (y0 + y1) // 2 - 2
+        cv.text(max(0, ax.px0 - 4 * len(str(label)) - 2), ty, str(label))
+        cv.text(min(x1 + 3, cv.w - 4 * len(_fmt(v))), ty, _fmt(v))
+    return cv.save(path)
+
+
 def scatter_identity_png(path: str, x: Sequence[float], y: Sequence[float],
                          width: int = 640, height: int = 480) -> str:
     """Scatter + dashed red y=x — ``plot_with_identity_line``

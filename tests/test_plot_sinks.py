@@ -255,3 +255,40 @@ def test_font_lowercase_glyphs_render():
     # require coverage across the full span
     assert min(black_cols) <= 3 and max(black_cols) >= 70
     assert len(black_cols) >= 40
+
+
+def test_hbar_and_plot_bench(tmp_path):
+    import sys
+    from pathlib import Path
+
+    out = str(tmp_path / "b.png")
+    P.hbar_png(out, {"dedup": 2.2, "plaid": 5.8, "exact": 0.18},
+               width=320, height=200)
+    w, h, px = decode_png(open(out, "rb").read())
+    assert (w, h) == (320, 200)
+    # bars are blue; the longest bar (plaid, 5.8) must reach near the
+    # right edge while the shortest stays near the axis
+    blue_x = [x for (x, y), c in px.items() if c == P.BLUE]
+    assert max(blue_x) > 250 and min(blue_x) < 80
+    with pytest.raises(ValueError):
+        P.hbar_png(out, {})
+    with pytest.raises(ValueError):
+        P.hbar_png(out, {"a": -1.0})
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plot_bench import plot_bench_artifact
+
+    artifact = {
+        "queries": {"q1": 1.5, "q2": 0.3},
+        "pass_probes": [32.1, 32.8],
+        "pass_probes_post": [31.9, 32.0],
+        "probe_gate": 28.8,
+    }
+    written = plot_bench_artifact(artifact, out_dir=str(tmp_path / "c"))
+    assert [Path(p).name for p in written] == [
+        "bench_queries.png", "bench_probes.png"]
+    for p in written:
+        decode_png(open(p, "rb").read())
+    again = plot_bench_artifact(artifact, out_dir=str(tmp_path / "c2"))
+    for a, b in zip(written, again):
+        assert open(a, "rb").read() == open(b, "rb").read()
