@@ -681,6 +681,56 @@ def q_chamfer_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chamfer_distance(a, b, quantize_digits=6).select("doc_id", "chamfer_dist")
 
 
+#: shared BPE config for the two bpe_* driver queries and their fixtures
+#: (tools/make_expected_fixtures.py expected_bpe_*)
+_BPE_MERGES, _BPE_TOP_WORDS = 200, 2000
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-learned BPE vocabulary (P1 token-encoding analog,
+    functions/bpe.py): distributed word-frequency aggregation, bounded
+    top_words collect, greedy merge learning — fully deterministic at any
+    partitioning (ties by word), so the oracle is an expected-parquet
+    fixture whose frequency count is an independent collections.Counter
+    pass (tools/make_expected_fixtures.py expected_bpe_vocab)."""
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.bpe import (
+        fit_bpe,
+        merges_df,
+    )
+
+    assert "sf0.01" in sf_dir, (
+        f"bpe_vocab fixture oracle is precomputed for sf0.01; got "
+        f"{sf_dir!r} — regenerate via tools/make_expected_fixtures.py"
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = fit_bpe(docs, num_merges=_BPE_MERGES, top_words=_BPE_TOP_WORDS)
+    return merges_df(spark, merges)
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BPE encode: Arrow-batched pandas UDF with a per-batch
+    unique-word memo, zero shuffle. Returns (doc_id, n_bpe_tokens,
+    tokens_md5) where tokens_md5 digests the exact subword sequence
+    (JVM md5 over the \\x01-joined tokens), so the expected-parquet
+    oracle value-checks every token of every document."""
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.bpe import (
+        bpe_encode,
+        fit_bpe,
+    )
+
+    assert "sf0.01" in sf_dir, (
+        f"bpe_token_stats fixture oracle is precomputed for sf0.01; got "
+        f"{sf_dir!r} — regenerate via tools/make_expected_fixtures.py"
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = fit_bpe(docs, num_merges=_BPE_MERGES, top_words=_BPE_TOP_WORDS)
+    return bpe_encode(docs, merges).select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.md5(F.concat_ws("\x01", F.col("bpe_tokens"))).alias("tokens_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
@@ -719,6 +769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forest_vote_topk": q_forest_vote_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "plaid_topk": q_plaid_topk,
+        "bpe_vocab": q_bpe_vocab,
+        "bpe_token_stats": q_bpe_token_stats,
     }
 
 
@@ -1197,6 +1249,14 @@ def oracle_sql() -> dict[str, str]:
         "plaid_topk": """
             SELECT query_id, doc_id, score, rank
             FROM read_parquet('/root/repo/fixtures/plaid_topk_sf0.01.parquet')
+        """,
+        "bpe_vocab": """
+            SELECT "rank", "left", "right"
+            FROM read_parquet('/root/repo/fixtures/bpe_vocab_sf0.01.parquet')
+        """,
+        "bpe_token_stats": """
+            SELECT doc_id, n_bpe_tokens, tokens_md5
+            FROM read_parquet('/root/repo/fixtures/bpe_token_stats_sf0.01.parquet')
         """,
         "ivf_ann_topk": """
             SELECT q_id, n_id, cosine, rank

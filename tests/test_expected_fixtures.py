@@ -210,9 +210,51 @@ def test_ivf_ann_topk_matches_pure_python_expectation(spark, ivf_expected):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+@pytest.fixture(scope="module")
+def bpe_vocab_expected():
+    from make_expected_fixtures import expected_bpe_vocab
+
+    return expected_bpe_vocab(SF001)
+
+
+@pytest.fixture(scope="module")
+def bpe_stats_expected():
+    from make_expected_fixtures import expected_bpe_token_stats
+
+    return expected_bpe_token_stats(SF001)
+
+
+def test_bpe_vocab_matches_pure_python_expectation(spark, bpe_vocab_expected):
+    """The Spark fit (explode/groupBy freq shuffle + bounded orderBy/limit
+    collect) must learn the exact merge table the collections.Counter
+    pure-Python pass learns."""
+    import __spark_entry__ as em
+
+    got = em.q_bpe_vocab(spark, SF001).toPandas().sort_values("rank").reset_index(drop=True)
+    exp = bpe_vocab_expected.sort_values("rank").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_bpe_token_stats_matches_pure_python_expectation(spark, bpe_stats_expected):
+    """The Arrow-batched encode UDF (per-batch word memo) must produce the
+    exact token sequence per document — md5 digests compare every
+    subword, not just counts."""
+    import __spark_entry__ as em
+
+    got = (
+        em.q_bpe_token_stats(spark, SF001)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = bpe_stats_expected.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_committed_fixtures_are_current(
     media_expected, substring_expected, ann_expected, fv_expected,
     near_dup_expected, plaid_expected, ivf_expected,
+    bpe_vocab_expected, bpe_stats_expected,
 ):
     for name, exp, keys in (
         ("media_near_dups.parquet", media_expected, ["doc_a", "doc_b"]),
@@ -222,6 +264,8 @@ def test_committed_fixtures_are_current(
         ("embedding_near_dups_sf0.01.parquet", near_dup_expected, ["doc_a", "doc_b"]),
         ("plaid_topk_sf0.01.parquet", plaid_expected, ["query_id", "rank"]),
         ("ivf_ann_topk_sf0.01.parquet", ivf_expected, ["q_id", "rank"]),
+        ("bpe_vocab_sf0.01.parquet", bpe_vocab_expected, ["rank"]),
+        ("bpe_token_stats_sf0.01.parquet", bpe_stats_expected, ["doc_id"]),
     ):
         path = FIXTURES / name
         assert path.exists(), f"missing fixture {path} — run tools/make_expected_fixtures.py"

@@ -584,6 +584,87 @@ def expected_ivf_ann_topk(
     return df.astype({"q_id": "int64", "n_id": "int64", "rank": "int64"})
 
 
+def expected_bpe_fit(
+    sf_dir: str = "/root/testdata/sf0.01",
+    num_merges: int = 200,
+    top_words: int = 2000,
+) -> list[tuple[str, str]]:
+    """Learn BPE merges from sf0.01 documents WITHOUT Spark: word
+    frequencies via collections.Counter over the same lowercase
+    whitespace split (the corpus is ASCII space-separated, so Python
+    str.split() and the Spark-side Java ``\\s+`` split agree), the
+    top_words cap applied with the identical deterministic (-freq, word)
+    order, then the shared pure-Python greedy merge kernel
+    (functions/bpe.py learn_bpe_merges — independently hand-value-tested
+    on the Sennrich table in tests/test_bpe.py). What the fixtures built
+    on this cross-check in the Spark path: the explode/groupBy frequency
+    shuffle, the orderBy+limit bounded collect, and the Arrow-batched
+    encode UDF."""
+    from collections import Counter
+
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.bpe import (
+        learn_bpe_merges,
+    )
+
+    docs = pd.read_parquet(
+        Path(sf_dir) / "documents.parquet", columns=["doc_id", "text"]
+    )
+    counts: Counter = Counter()
+    for t in docs["text"].fillna(""):
+        counts.update(t.lower().split())
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_words]
+    return learn_bpe_merges(top, num_merges)
+
+
+def expected_bpe_vocab(
+    sf_dir: str = "/root/testdata/sf0.01",
+    num_merges: int = 200,
+    top_words: int = 2000,
+) -> pd.DataFrame:
+    """The learned merge table (rank, left, right) as the driver-facing
+    fixture for the ``bpe_vocab`` oracle."""
+    merges = expected_bpe_fit(sf_dir, num_merges, top_words)
+    return pd.DataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        columns=["rank", "left", "right"],
+    )
+
+
+def expected_bpe_token_stats(
+    sf_dir: str = "/root/testdata/sf0.01",
+    num_merges: int = 200,
+    top_words: int = 2000,
+) -> pd.DataFrame:
+    """Per-doc BPE encode result (doc_id, n_bpe_tokens, tokens_md5) for
+    the ``bpe_token_stats`` oracle: encode every document with the
+    shared pure-Python kernel (functions/bpe.py encode_text) and digest
+    the token sequence as md5 of the \\x01-joined tokens — the same
+    digest the Spark query computes JVM-side with
+    ``md5(concat_ws('\\x01', bpe_tokens))``."""
+    import hashlib
+
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.bpe import (
+        encode_text,
+    )
+
+    merges = expected_bpe_fit(sf_dir, num_merges, top_words)
+    ranks = {p: i for i, p in enumerate(merges)}
+    docs = pd.read_parquet(
+        Path(sf_dir) / "documents.parquet", columns=["doc_id", "text"]
+    )
+    cache: dict = {}
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = encode_text(text, ranks, cache)
+        digest = hashlib.md5("\x01".join(toks).encode("utf-8")).hexdigest()
+        rows.append((int(doc_id), len(toks), digest))
+    return (
+        pd.DataFrame(rows, columns=["doc_id", "n_bpe_tokens", "tokens_md5"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def main() -> int:
     FIXTURES.mkdir(exist_ok=True)
     media = expected_media_near_dups()
@@ -607,6 +688,12 @@ def main() -> int:
     iv = expected_ivf_ann_topk()
     iv.to_parquet(FIXTURES / "ivf_ann_topk_sf0.01.parquet", index=False)
     print(f"ivf_ann_topk (sf0.01): {len(iv)} rows")
+    bv = expected_bpe_vocab()
+    bv.to_parquet(FIXTURES / "bpe_vocab_sf0.01.parquet", index=False)
+    print(f"bpe_vocab (sf0.01): {len(bv)} merges")
+    bt = expected_bpe_token_stats()
+    bt.to_parquet(FIXTURES / "bpe_token_stats_sf0.01.parquet", index=False)
+    print(f"bpe_token_stats (sf0.01): {len(bt)} rows")
     return 0
 
 
