@@ -118,3 +118,71 @@ def test_winnow_is_subsample_of_rolling_hashes(text, gram, window):
     w = _winnow(h, window)
     assert set(w.tolist()) <= set(h.tolist())
     assert np.array_equal(_winnow(h, 1), np.unique(h))
+
+
+# ---------------------------------------------------------------------------
+# BPE kernel properties (functions/bpe.py — the pure kernels under both the
+# distributed encode UDF and the expected-parquet fixture oracle)
+
+words = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+    min_size=1,
+    max_size=12,
+)
+word_tables = st.lists(
+    st.tuples(words, st.integers(min_value=1, max_value=50)),
+    min_size=0,
+    max_size=30,
+).map(lambda rows: list({w: f for w, f in rows}.items()))
+
+
+@given(word_tables, st.integers(0, 40))
+@settings(max_examples=200, deadline=None)
+def test_bpe_learn_is_input_order_invariant(table, num_merges):
+    """Merge learning is a function of the word->freq MAP (ties broken by
+    pair value, never arrival order) — the distributed freq aggregation
+    offers no row-order guarantees."""
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.bpe import (
+        learn_bpe_merges,
+    )
+
+    assert learn_bpe_merges(table, num_merges) == learn_bpe_merges(
+        table[::-1], num_merges
+    )
+
+
+@given(word_tables, st.lists(words, max_size=20), st.integers(0, 40))
+@settings(max_examples=200, deadline=None)
+def test_bpe_encode_is_lossless(table, text_words, num_merges):
+    """Encoding any word — in or out of the training table — with any
+    learned merge set reassembles the exact input: merges only ever glue
+    adjacent symbols, never rewrite them."""
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.bpe import (
+        END_OF_WORD,
+        encode_word,
+        learn_bpe_merges,
+    )
+
+    ranks = {p: i for i, p in enumerate(learn_bpe_merges(table, num_merges))}
+    for w in text_words:
+        toks = encode_word(w, ranks)
+        assert "".join(toks) == w + END_OF_WORD
+
+
+@given(word_tables)
+@settings(max_examples=100, deadline=None)
+def test_bpe_training_words_reach_fixpoint_encoding(table):
+    """With every merge learned (no cap), re-encoding a training word
+    applies merges in rank order and terminates; the result never splits
+    a symbol the learn phase merged at a boundary the word itself
+    exercised with count >= 2 — sanity: encode always terminates and
+    yields at least one token."""
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.bpe import (
+        encode_word,
+        learn_bpe_merges,
+    )
+
+    ranks = {p: i for i, p in enumerate(learn_bpe_merges(table, 10_000))}
+    for w, _ in table:
+        toks = encode_word(w, ranks)
+        assert len(toks) >= 1
