@@ -353,6 +353,23 @@ def _suite_pass(spark, docs, reps: int = 2, compute_mrr: bool = True) -> dict:
         ).count()
 
     timed("ivf_ann_topk", ivf)
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.bpe import (
+        bpe_encode,
+        fit_bpe,
+    )
+
+    def bpe():
+        # full token-encoding stage: distributed freq learn (bounded
+        # top_words collect + driver-side greedy merges) + Arrow-batched
+        # encode of every document, reduced to a total-token count
+        merges = fit_bpe(docs, num_merges=200, top_words=2000)
+        return (
+            bpe_encode(docs.select("doc_id", "text"), merges)
+            .agg(F.sum(F.size("bpe_tokens")))
+            .collect()
+        )
+
+    timed("bpe_encode", bpe)
     # production hash family at SF_DIR (the sf0.01-pinned fixture assert
     # lives in the driver query, not the operator)
     from lsh_forest_for_multi_vector_retrieval_spark.config import DedupConfig as _DC
