@@ -61,7 +61,34 @@ def query_vectors(spark, doc_vectors):
 
 @pytest.fixture(scope="module")
 def centroids(doc_vectors):
-    return build_centroids(doc_vectors, k=12, seed=42).persist()
+    # the deterministic codebook: Spark ML KMeans (build_centroids) is
+    # seeded but NOT run-deterministic (k-means|| init + float reduce
+    # order vary with scheduling), so the strict planted-rank gates below
+    # would flake ~1/50 runs on a marginally different codebook; the
+    # pinned-Lloyd twin gives the same quality bit-reproducibly. The ML
+    # path keeps its own (loose) coverage in test_build_centroids_ml_path.
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.plaid import (
+        build_centroids_deterministic,
+    )
+
+    # no id_col: the xxhash64 sample order spreads the Lloyd init seeds
+    # across docs (id order would seed all 12 centroids from docs 0-2)
+    return build_centroids_deterministic(doc_vectors, k=12).persist()
+
+
+def test_build_centroids_ml_path(spark, doc_vectors, query_vectors):
+    """The Spark ML KMeans builder (the production-scale P2 path): shape,
+    unit normalization, and retrieval quality — gates are deliberately
+    loose because ML KMeans is not run-deterministic."""
+    cents = build_centroids(doc_vectors, k=12, seed=42)
+    rows = cents.collect()
+    assert len(rows) == 12
+    assert cents.columns == ["centroid_id", "centroid"]
+    for r in rows:
+        assert np.linalg.norm(r.centroid) == pytest.approx(1.0, abs=1e-6)
+    got = plaid_topk(doc_vectors, query_vectors, cents, k=10, nprobe=4, rerank=10)
+    top1 = {r.query_id: r.doc_id for r in got.where(F.col("rank") == 1).collect()}
+    assert sum(1 for q, d in top1.items() if q == d) >= 6, top1
 
 
 def test_centroid_index_covers_every_doc(doc_vectors, centroids):
