@@ -17,10 +17,11 @@ layouts those tools materialize, distributed and schema-declared:
 * **.npy vector files** (``load_npy_vectors``): the reference's ad-hoc
   ``np.load`` embedding scans, re-expressed as ``spark.read.format
   ("binaryFile")`` + ``mapInPandas`` — each 2-D ``.npy`` file is parsed
-  INSIDE a task (never on the driver), one file per input split, so a
-  directory of shard files loads with per-file parallelism and the driver
-  memory footprint is zero. Supports float32/float64, C-order, v1/v2
-  headers — the subset NumPy itself writes by default.
+  INSIDE a task (``np.load`` over the fetched bytes, never on the
+  driver), one file per input split, so a directory of shard files loads
+  with per-file parallelism and the driver memory footprint is zero.
+  Any numeric 2-D array loads (f4/f8, either byte order, C or Fortran
+  layout); pickled object arrays are rejected.
 
 Scale notes: jsonl/tsv reads are splittable line formats (Spark
 parallelizes WITHIN a large corpus.jsonl by byte range); ``.npy`` is not
@@ -31,7 +32,6 @@ they are produced by any batched writer.
 from __future__ import annotations
 
 import io
-import struct
 from collections.abc import Iterator
 from typing import NamedTuple
 
@@ -79,12 +79,15 @@ def load_beir(
     """Load a BEIR-format directory into engine-convention DataFrames.
 
     ``path`` holds ``corpus.jsonl``, ``queries.jsonl`` and
-    ``qrels/{split}.tsv``. Reads are schema-declared (no inference scan)
-    and fully splittable; nothing is collected. Null text normalizes to
-    the empty string so downstream shingle/token operators see the same
-    degenerate-input convention as the synthetic generators."""
+    ``qrels/{split}.tsv``. Reads are schema-declared (no inference scan),
+    FAILFAST (a malformed line is a loud error, not a silent all-null
+    row that would vanish from doc_id joins) and fully splittable;
+    nothing is collected. Null text normalizes to the empty string so
+    downstream shingle/token operators see the same degenerate-input
+    convention as the synthetic generators."""
     corpus = (
         spark.read.schema(CORPUS_JSON_SCHEMA)
+        .option("mode", "FAILFAST")
         .json(f"{path}/corpus.jsonl")
         .select(
             F.col("_id").alias("doc_id"),
@@ -94,6 +97,7 @@ def load_beir(
     )
     queries = (
         spark.read.schema(QUERIES_JSON_SCHEMA)
+        .option("mode", "FAILFAST")
         .json(f"{path}/queries.jsonl")
         .select(
             F.col("_id").alias("query_id"),
@@ -103,6 +107,10 @@ def load_beir(
     qrels = (
         spark.read.option("header", "true")
         .option("sep", "\t")
+        # qrels has no quoting convention — a literal '"' in an id must
+        # not trigger CSV quote handling
+        .option("quote", "")
+        .option("mode", "FAILFAST")
         .schema(QRELS_SCHEMA)
         .csv(f"{path}/qrels/{split}.tsv")
         .select(
@@ -118,35 +126,22 @@ def load_beir(
 # .npy distributed reader
 
 
-def _parse_npy(name: str, data: bytes) -> tuple[np.ndarray, int]:
-    """Parse one 2-D .npy payload (v1/v2 header, C-order float32/64).
-    Tiny by design — implemented here so the hot path never round-trips
-    through a driver-side np.load of an executor-fetched blob."""
-    if data[:6] != b"\x93NUMPY":
-        raise ValueError(f"{name}: not a .npy file (bad magic)")
-    major = data[6]
-    if major == 1:
-        (hlen,) = struct.unpack("<H", data[8:10])
-        header, off = data[10 : 10 + hlen], 10 + hlen
-    elif major == 2:
-        (hlen,) = struct.unpack("<I", data[8:12])
-        header, off = data[12 : 12 + hlen], 12 + hlen
-    else:
-        raise ValueError(f"{name}: unsupported .npy version {major}")
-    # header is a Python dict literal: {'descr': '<f4', 'fortran_order':
-    # False, 'shape': (n, d), }
-    import ast
-
-    meta = ast.literal_eval(header.decode("latin1").strip())
-    descr, shape = meta["descr"], meta["shape"]
-    if meta.get("fortran_order"):
-        raise ValueError(f"{name}: fortran_order .npy not supported")
-    if len(shape) != 2:
-        raise ValueError(f"{name}: expected 2-D array, got shape {shape}")
-    if descr not in ("<f4", "<f8"):
-        raise ValueError(f"{name}: expected <f4/<f8 dtype, got {descr!r}")
-    arr = np.frombuffer(data, dtype=np.dtype(descr), offset=off).reshape(shape)
-    return arr, shape[0]
+def _parse_npy(name: str, data: bytes) -> np.ndarray:
+    """Parse one .npy payload to a 2-D float32 array. ``np.load`` over a
+    BytesIO runs inside the executor task (nothing touches the driver)
+    and handles every header version / byte order / memory layout NumPy
+    itself writes; pickled object arrays are refused. Errors carry the
+    file name so a bad shard in a 10k-file load is attributable."""
+    try:
+        arr = np.load(io.BytesIO(data), allow_pickle=False)
+    except Exception as e:
+        raise ValueError(f"{name}: not a loadable .npy file ({e})") from e
+    if arr.ndim != 2:
+        raise ValueError(f"{name}: expected 2-D array, got shape {arr.shape}")
+    if not np.issubdtype(arr.dtype, np.number):
+        raise ValueError(f"{name}: expected numeric dtype, got {arr.dtype}")
+    # one vectorized cast (free for native-f4 shards), not per-row astype
+    return np.ascontiguousarray(arr.astype(np.float32, copy=False))
 
 
 NPY_ROWS_SCHEMA = T.StructType(
@@ -165,19 +160,24 @@ def load_npy_vectors(spark: SparkSession, path: str) -> DataFrame:
     ``mapInPandas``, and row ids are (file, index-within-file), stable at
     any partitioning. Join against a sidecar id table (or derive doc ids
     from the shard naming convention) to attach document keys."""
-    files = spark.read.format("binaryFile").load(path)
+    # pathGlobFilter: shard directories routinely hold sidecars (an id
+    # manifest, a README) — only .npy payloads reach the parser
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.npy")
+        .load(path)
+    )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for name, blob in zip(pdf["path"], pdf["content"]):
-                arr, n = _parse_npy(name, bytes(blob))
+                arr = _parse_npy(name, bytes(blob))
+                n = arr.shape[0]
                 yield pd.DataFrame(
                     {
                         "file": [name] * n,
                         "row_idx": np.arange(n, dtype=np.int64),
-                        "embedding": [
-                            row.astype(np.float32) for row in arr
-                        ],
+                        "embedding": list(arr),
                     }
                 )
 

@@ -135,13 +135,60 @@ def test_load_npy_vectors_values_and_parallelism(spark, npy_dir):
 def test_load_npy_rejects_malformed(spark, tmp_path):
     bad = tmp_path / "bad.npy"
     bad.write_bytes(b"not a numpy file at all")
-    with pytest.raises(Exception, match="bad magic"):
+    with pytest.raises(Exception, match="not a loadable"):
         load_npy_vectors(spark, str(bad)).collect()
-    f_order = tmp_path / "fortran.npy"
-    np.save(f_order, np.asfortranarray(np.ones((2, 2), dtype=np.float32)))
-    with pytest.raises(Exception, match="fortran_order"):
-        load_npy_vectors(spark, str(f_order)).collect()
+    truncated = tmp_path / "trunc.npy"
+    truncated.write_bytes(b"\x93NUMPY\x01\x00")  # magic ok, header cut
+    with pytest.raises(Exception, match="not a loadable"):
+        load_npy_vectors(spark, str(truncated)).collect()
     one_d = tmp_path / "one_d.npy"
     np.save(one_d, np.ones(4, dtype=np.float32))
     with pytest.raises(Exception, match="2-D"):
         load_npy_vectors(spark, str(one_d)).collect()
+
+
+def test_load_npy_accepts_fortran_and_f8(spark, tmp_path):
+    arr = np.asfortranarray(
+        np.arange(6, dtype=np.float64).reshape(2, 3)
+    )
+    np.save(tmp_path / "f.npy", arr)
+    rows = sorted(
+        load_npy_vectors(spark, str(tmp_path)).collect(),
+        key=lambda r: r.row_idx,
+    )
+    np.testing.assert_allclose(
+        np.array([r.embedding for r in rows]), arr.astype(np.float32)
+    )
+
+
+def test_load_npy_skips_sidecar_files(spark, tmp_path):
+    np.save(tmp_path / "shard.npy", np.ones((2, 2), dtype=np.float32))
+    (tmp_path / "ids.txt").write_text("d0\nd1\n")  # sidecar must be ignored
+    assert load_npy_vectors(spark, str(tmp_path)).count() == 2
+
+
+def test_load_beir_failfast_on_corrupt_corpus(spark, beir_dir, tmp_path):
+    import shutil
+
+    broken = tmp_path / "broken_beir"
+    shutil.copytree(beir_dir, broken)
+    with open(broken / "corpus.jsonl", "a") as f:
+        f.write("{this is not json\n")
+    ds = load_beir(spark, str(broken))
+    with pytest.raises(Exception):
+        ds.corpus.count()
+
+
+def test_qrels_quote_char_is_literal(spark, beir_dir, tmp_path):
+    import shutil
+
+    root = tmp_path / "quoted_beir"
+    shutil.copytree(beir_dir, root)
+    with open(root / "qrels" / "test.tsv", "a") as f:
+        f.write('q9\td"quoted\t2\n')
+    row = (
+        load_beir(spark, str(root))
+        .qrels.where("query_id = 'q9'")
+        .first()
+    )
+    assert row.doc_id == 'd"quoted' and row.relevance == 2
