@@ -29,15 +29,48 @@ kernel below doubles as the independent expected-parquet oracle path
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 #: end-of-word sentinel appended to every word's symbol sequence before
-#: merging (Sennrich's </w>), so "low" the word and "low" the prefix of
-#: "lower" learn distinct merge contexts.
-END_OF_WORD = "</w>"
+#: merging (the role of Sennrich's ``</w>``), so "low" the word and "low"
+#: the prefix of "lower" learn distinct merge contexts. A single
+#: private-use code point rather than the literal string "</w>": symbols
+#: start as single input characters and merges concatenate them, so on an
+#: HTML-ish corpus the four characters < / w > could merge into a symbol
+#: string-equal to a "</w>" sentinel — conflating merge statistics and
+#: corrupting sentinel-split decoding. U+E000 cannot be formed by merging
+#: because ``split_words`` strips it from input text on every path
+#: (learn, encode, and the fixture oracle).
+END_OF_WORD = ""
+
+#: words longer than this never enter the merge table and are encoded in
+#: bounded chunks: a whitespace-free document (CJK prose, minified code,
+#: base64 blobs — guaranteed in webtext) would otherwise reach
+#: ``encode_word``'s O(len^2) scan as one giant "word" and stall an
+#: executor task for hours. Chunked words still encode deterministically;
+#: the lossless-reassembly invariant holds for words within the cap.
+MAX_WORD_LEN = 64
+
+#: the learn/encode word splitter — ASCII whitespace EXACTLY, mirroring
+#: Java's default ``\s`` so the Spark-side ``F.split(text, r"\s+")`` and
+#: every pure-Python path (encode UDF, fixture oracle) segment text
+#: identically. Python's ``str.split()`` is NOT equivalent: it also
+#: splits on Unicode whitespace (NBSP,  - , ...), which would
+#: learn a vocabulary over a different segmentation than encoding applies.
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def split_words(text: str | None) -> list[str]:
+    """Lowercase + sentinel-strip + ASCII-whitespace split — THE word
+    segmentation, shared verbatim by the encode kernel and the fixture
+    oracle, and mirrored column-side by :func:`word_frequencies`."""
+    cleaned = (text or "").lower().replace(END_OF_WORD, "")
+    return [w for w in _ASCII_WS.split(cleaned) if w]
 
 
 # ---------------------------------------------------------------------------
@@ -45,18 +78,22 @@ END_OF_WORD = "</w>"
 
 
 def learn_bpe_merges(
-    word_freqs: list[tuple[str, int]], num_merges: int
+    word_freqs: list[tuple[str, int]],
+    num_merges: int,
+    max_word_len: int = MAX_WORD_LEN,
 ) -> list[tuple[str, str]]:
     """Greedy BPE merge learning over a word→frequency table.
 
     Deterministic: each round picks the adjacent symbol pair with the
     highest frequency-weighted count, ties broken by lexicographic pair
     order. Stops early when no pair occurs at least twice (merging a
-    count-1 pair is pure overfit). Input order does not matter."""
+    count-1 pair is pure overfit). Input order does not matter. Words
+    longer than ``max_word_len`` are junk blobs, not vocabulary, and are
+    excluded (see :data:`MAX_WORD_LEN`)."""
     seqs: list[tuple[tuple[str, ...], int]] = [
         (tuple(word) + (END_OF_WORD,), int(freq))
         for word, freq in word_freqs
-        if word
+        if word and len(word) <= max_word_len
     ]
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
@@ -105,15 +142,27 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 
 
 def encode_text(text: str, ranks: dict[tuple[str, str], int],
-                cache: dict | None = None) -> list[str]:
-    """Encode whitespace-split text; ``cache`` memoizes per unique word."""
+                cache: dict | None = None,
+                max_word_len: int = MAX_WORD_LEN) -> list[str]:
+    """Encode text via :func:`split_words`; ``cache`` memoizes per unique
+    word. Words longer than ``max_word_len`` encode in bounded chunks
+    (each chunk independently, O(max_word_len^2) apiece) so one
+    whitespace-free blob cannot stall a task."""
     if cache is None:
         cache = {}
     out: list[str] = []
-    for word in (text or "").lower().split():
+    for word in split_words(text):
         hit = cache.get(word)
         if hit is None:
-            hit = cache[word] = encode_word(word, ranks)
+            if len(word) <= max_word_len:
+                hit = encode_word(word, ranks)
+            else:
+                hit = [
+                    tok
+                    for i in range(0, len(word), max_word_len)
+                    for tok in encode_word(word[i : i + max_word_len], ranks)
+                ]
+            cache[word] = hit
         out.extend(hit)
     return out
 
@@ -124,10 +173,21 @@ def encode_text(text: str, ranks: dict[tuple[str, str], int],
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) via explode + map-side-combined groupBy — the one
-    shuffle of the learn stage. Lowercased, whitespace-split, empties
-    dropped (the token_count_col convention, text_stats.py)."""
+    shuffle of the learn stage. The column expression is the JVM mirror
+    of :func:`split_words`: lowercase, strip the sentinel code point,
+    split on Java ``\\s+`` (ASCII whitespace — identical to the Python
+    side's explicit ASCII class), drop empties. NOTE this deliberately
+    differs from text_stats.py's token_count_col, which splits on a
+    single literal space — the two modules define "token" differently
+    and must not be unified without regenerating the BPE fixtures."""
     words = F.explode(
-        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != F.lit(""))
+        F.filter(
+            F.split(
+                F.translate(F.lower(F.col(text_col)), END_OF_WORD, ""),
+                r"\s+",
+            ),
+            lambda w: w != F.lit(""),
+        )
     ).alias("word")
     return docs.select(words).groupBy("word").agg(F.count("*").alias("freq"))
 

@@ -9,12 +9,16 @@ import pyspark.sql.functions as F
 import pytest
 
 from lsh_forest_for_multi_vector_retrieval_spark.functions.bpe import (
+    END_OF_WORD as EOW,
+)
+from lsh_forest_for_multi_vector_retrieval_spark.functions.bpe import (
     bpe_encode,
     encode_text,
     encode_word,
     fit_bpe,
     learn_bpe_merges,
     merges_df,
+    split_words,
     word_frequencies,
 )
 from lsh_forest_for_multi_vector_retrieval_spark.sources.pages import (
@@ -27,10 +31,10 @@ SENNRICH = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
 
 def test_learn_merges_hand_computed():
     merges = learn_bpe_merges(SENNRICH, 4)
-    # es: 6+3=9 beats every other pair; then est 9; then est</w> 9
-    # (lexicographic tie-break vs nothing — counts strictly order these);
-    # then lo: 5+2=7
-    assert merges == [("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")]
+    # es: 6+3=9 beats every other pair; then est 9; then est+EOW 9
+    # (counts strictly order these); then the 7-7 tie between (l,o) and
+    # (o,w) breaks lexicographically to (l,o)
+    assert merges == [("e", "s"), ("es", "t"), ("est", EOW), ("l", "o")]
     # input order must not matter
     assert learn_bpe_merges(SENNRICH[::-1], 4) == merges
 
@@ -44,9 +48,9 @@ def test_encode_word_uses_rank_order():
     merges = learn_bpe_merges(SENNRICH, 10)
     ranks = {p: i for i, p in enumerate(merges)}
     # unseen word composed of learned subwords: the canonical example
-    assert encode_word("lowest", ranks) == ["low", "est</w>"]
+    assert encode_word("lowest", ranks) == ["low", "est" + EOW]
     # no applicable merges -> raw chars + sentinel
-    assert encode_word("qq", {}) == ["q", "q", "</w>"]
+    assert encode_word("qq", {}) == ["q", "q", EOW]
 
 
 def test_encode_text_lowercases_and_caches():
@@ -54,7 +58,7 @@ def test_encode_text_lowercases_and_caches():
     ranks = {p: i for i, p in enumerate(merges)}
     cache: dict = {}
     toks = encode_text("Newest  LOWEST newest", ranks, cache)
-    assert toks == ["newest</w>", "low", "est</w>", "newest</w>"]
+    assert toks == ["newest" + EOW, "low", "est" + EOW, "newest" + EOW]
     assert set(cache) == {"newest", "lowest"}
     assert encode_text(None, ranks) == []
     assert encode_text("   ", ranks) == []
@@ -88,7 +92,7 @@ def test_distributed_encode_equals_pure_python(spark):
         assert got[r["doc_id"]] == encode_text(r["text"], ranks)
     # tokens reassemble the lowercased text exactly (lossless encode)
     for r in docs.collect():
-        joined = "".join(got[r["doc_id"]]).replace("</w>", " ").strip()
+        joined = "".join(got[r["doc_id"]]).replace(EOW, " ").strip()
         assert joined == " ".join(r["text"].lower().split())
 
 
@@ -113,4 +117,42 @@ def test_learn_rejects_nothing_but_empty_words():
 
 @pytest.mark.parametrize("word", ["a", "ab"])
 def test_encode_short_words(word):
-    assert "".join(encode_word(word, {})) == word + "</w>"
+    assert "".join(encode_word(word, {})) == word + EOW
+
+
+def test_split_words_matches_spark_segmentation(spark):
+    """Learn and encode must segment identically: the Python splitter is
+    ASCII-whitespace only (Java \\s), NOT str.split()'s Unicode set, and
+    both sides strip the sentinel code point from input."""
+    tricky = "foo\xa0bar baz\tqux" + EOW + "zap"
+    # str.split would split foo\xa0bar into two words — we must not
+    assert split_words(tricky) == ["foo\xa0bar", "baz", "quxzap"]
+    df = spark.createDataFrame([(tricky,)], "text string")
+    spark_words = sorted(
+        r["word"] for r in word_frequencies(df).collect()
+    )
+    assert spark_words == sorted(split_words(tricky))
+
+
+def test_long_words_encode_in_bounded_chunks():
+    """A whitespace-free blob (CJK prose, base64) must not hit the
+    O(len^2) encode scan as one giant word."""
+    blob = "ab" * 5000  # 10k chars, far over MAX_WORD_LEN
+    toks = encode_text(blob, {}, max_word_len=64)
+    # every chunk reassembles: strip sentinels and rejoin
+    assert "".join(toks).replace(EOW, "") == blob
+    # chunking at 64: ceil(10000/64) chunks, each ending in a sentinel
+    assert "".join(toks).count(EOW) == (10000 + 63) // 64
+    # and the learn side refuses such words entirely
+    assert learn_bpe_merges([(blob, 100)], 5) == []
+
+
+def test_sentinel_cannot_be_forged_by_merges():
+    """An HTML-ish corpus whose words contain the literal characters
+    < / w > must not learn a symbol that collides with the sentinel."""
+    merges = learn_bpe_merges([("a</w>b", 50), ("c</w>d", 49)], 20)
+    assert all(left + right != EOW for left, right in merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks = encode_text("a</w>b c</w>d", ranks)
+    # decode by sentinel-split reconstructs the words exactly
+    assert "".join(toks).replace(EOW, " ").strip() == "a</w>b c</w>d"

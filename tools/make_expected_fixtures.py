@@ -590,20 +590,20 @@ def expected_bpe_fit(
     top_words: int = 2000,
 ) -> list[tuple[str, str]]:
     """Learn BPE merges from sf0.01 documents WITHOUT Spark: word
-    frequencies via collections.Counter over the same lowercase
-    whitespace split (the corpus is ASCII space-separated, so Python
-    str.split() and the Spark-side Java ``\\s+`` split agree), the
-    top_words cap applied with the identical deterministic (-freq, word)
-    order, then the shared pure-Python greedy merge kernel
-    (functions/bpe.py learn_bpe_merges — independently hand-value-tested
-    on the Sennrich table in tests/test_bpe.py). What the fixtures built
-    on this cross-check in the Spark path: the explode/groupBy frequency
-    shuffle, the orderBy+limit bounded collect, and the Arrow-batched
-    encode UDF."""
+    frequencies via collections.Counter over bpe.split_words (the ASCII
+    segmentation shared bit-for-bit with the Spark column expression and
+    the encode UDF), the top_words cap applied with the identical
+    deterministic (-freq, word) order, then the shared pure-Python
+    greedy merge kernel (functions/bpe.py learn_bpe_merges —
+    independently hand-value-tested on the Sennrich table in
+    tests/test_bpe.py). What the fixtures built on this cross-check in
+    the Spark path: the explode/groupBy frequency shuffle, the
+    orderBy+limit bounded collect, and the Arrow-batched encode UDF."""
     from collections import Counter
 
     from lsh_forest_for_multi_vector_retrieval_spark.functions.bpe import (
         learn_bpe_merges,
+        split_words,
     )
 
     docs = pd.read_parquet(
@@ -611,7 +611,7 @@ def expected_bpe_fit(
     )
     counts: Counter = Counter()
     for t in docs["text"].fillna(""):
-        counts.update(t.lower().split())
+        counts.update(split_words(t))
     top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_words]
     return learn_bpe_merges(top, num_merges)
 
