@@ -90,6 +90,92 @@ def learn_bpe_merges(
     count-1 pair is pure overfit). Input order does not matter. Words
     longer than ``max_word_len`` are junk blobs, not vocabulary, and are
     excluded (see :data:`MAX_WORD_LEN`)."""
+    import heapq
+
+    seqs: list[tuple[tuple[str, ...], int]] = [
+        (tuple(word) + (END_OF_WORD,), int(freq))
+        for word, freq in word_freqs
+        if word and len(word) <= max_word_len
+    ]
+    # Incremental form of the classic recount-everything loop (kept as
+    # _learn_bpe_merges_naive, the equality reference for tests): pair
+    # counts and a pair -> {seq index} occurrence map are maintained
+    # exactly, and each round touches only the sequences containing the
+    # merged pair. Selection is a lazy-invalidation heap over
+    # (-count, pair) — the identical total order as the reference's
+    # min((-count, pair)) — so the learned merges are bit-identical while
+    # a round costs O(affected sequences), not O(total symbols).
+    counts: dict[tuple[str, str], int] = {}
+    occ: dict[tuple[str, str], set[int]] = {}
+    for si, (seq, freq) in enumerate(seqs):
+        for pair in zip(seq, seq[1:]):
+            counts[pair] = counts.get(pair, 0) + freq
+            occ.setdefault(pair, set()).add(si)
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-c, p) for p, c in counts.items()
+    ]
+    heapq.heapify(heap)
+
+    def bump(pair: tuple[str, str], delta: int, si: int) -> None:
+        c = counts.get(pair, 0) + delta
+        if c:
+            counts[pair] = c
+            # push on EVERY change (not just increases): lazy deletion is
+            # only sound if the current count always has a live heap
+            # entry — a pair whose count only ever decreased would
+            # otherwise become unselectable when its stale entry pops
+            heapq.heappush(heap, (-c, pair))
+        else:
+            counts.pop(pair, None)
+        if delta > 0:
+            occ.setdefault(pair, set()).add(si)
+        # negative deltas: the occurrence set is pruned by the caller and
+        # rebuilt by the positive pass if the pair survives the rewrite
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < num_merges:
+        pair = None
+        while heap:
+            negc, cand = heapq.heappop(heap)
+            if counts.get(cand) == -negc:
+                pair = cand
+                break
+        if pair is None or counts[pair] < 2:
+            break
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        for si in sorted(occ.get(pair, ())):
+            seq, freq = seqs[si]
+            for p in zip(seq, seq[1:]):
+                bump(p, -freq, si)
+                s = occ.get(p)
+                if s is not None:
+                    s.discard(si)
+                    if not s:
+                        del occ[p]
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and (seq[i], seq[i + 1]) == pair:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[si] = (tuple(out), freq)
+            for p in zip(out, out[1:]):
+                bump(p, freq, si)
+    return merges
+
+
+def _learn_bpe_merges_naive(
+    word_freqs: list[tuple[str, int]],
+    num_merges: int,
+    max_word_len: int = MAX_WORD_LEN,
+) -> list[tuple[str, str]]:
+    """The direct recount-everything greedy loop — the semantic
+    definition :func:`learn_bpe_merges` must match bit-for-bit (tested in
+    tests/test_properties.py). O(num_merges x total symbols); kept for
+    the equality gate and as executable documentation."""
     seqs: list[tuple[tuple[str, ...], int]] = [
         (tuple(word) + (END_OF_WORD,), int(freq))
         for word, freq in word_freqs

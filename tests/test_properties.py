@@ -186,3 +186,19 @@ def test_bpe_training_words_reach_fixpoint_encoding(table):
     for w, _ in table:
         toks = encode_word(w, ranks)
         assert len(toks) >= 1
+
+
+@given(word_tables, st.integers(0, 40))
+@settings(max_examples=200, deadline=None)
+def test_bpe_incremental_learn_equals_naive(table, num_merges):
+    """learn_bpe_merges (incremental heap form) must be bit-identical to
+    the recount-everything reference on any input — same counts, same
+    (-count, pair) selection order, same early stop."""
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.bpe import (
+        _learn_bpe_merges_naive,
+        learn_bpe_merges,
+    )
+
+    assert learn_bpe_merges(table, num_merges) == _learn_bpe_merges_naive(
+        table, num_merges
+    )
