@@ -53,6 +53,7 @@ _FONT = {
     "8": ("111", "101", "111", "101", "111"),
     "9": ("111", "101", "111", "001", "111"),
     "-": ("000", "000", "111", "000", "000"),
+    "_": ("000", "000", "000", "000", "111"),
     ".": ("000", "000", "000", "000", "010"),
     "e": ("000", "111", "111", "100", "111"),
     "+": ("000", "010", "111", "010", "000"),
@@ -159,7 +160,9 @@ class Canvas:
 
     def text(self, x: int, y: int, s: str, color=BLACK) -> None:
         for ch in s:
-            glyph = _FONT.get(ch, _FONT[" "])
+            # case-fold unknown chars so uppercase labels render via the
+            # lowercase glyphs instead of vanishing into blanks
+            glyph = _FONT.get(ch) or _FONT.get(ch.lower(), _FONT[" "])
             for r, rowbits in enumerate(glyph):
                 for c, bit in enumerate(rowbits):
                     if bit == "1":
@@ -218,11 +221,29 @@ class _Axes:
                                 * (self.py1 - self.py0))
 
 
+def _clean_xy(x: Sequence[float], y: Sequence[float], what: str = "x and y"
+              ) -> tuple[list, list]:
+    """Shared input guard for the driver-side plots: equal lengths,
+    non-empty (len(), not truthiness — numpy arrays are valid inputs and
+    have no scalar truth value), and non-finite pairs dropped (one NaN in
+    a bench record must not abort the whole chart bundle with an opaque
+    'cannot convert float NaN to integer' from the rasterizer)."""
+    import math
+
+    if len(x) != len(y) or len(x) == 0:
+        raise ValueError(f"{what} must be equal-length and non-empty")
+    pairs = [(float(a), float(b)) for a, b in zip(x, y)
+             if math.isfinite(a) and math.isfinite(b)]
+    if not pairs:
+        raise ValueError(f"{what}: no finite points to plot")
+    return [a for a, _ in pairs], [b for _, b in pairs]
+
+
 def line_png(path: str, x: Sequence[float], y: Sequence[float],
              width: int = 640, height: int = 480, color=BLUE) -> str:
-    """Marker line plot — the reference's ``plot`` (plotting.py:5-12)."""
-    if len(x) != len(y) or not x:
-        raise ValueError("x and y must be equal-length and non-empty")
+    """Marker line plot — the reference's ``plot`` (plotting.py:5-12).
+    Non-finite points are dropped."""
+    x, y = _clean_xy(x, y)
     cv = Canvas(width, height)
     ax = _Axes(cv, min(x), max(x), min(y), max(y))
     pts = [(ax.px(a), ax.py(b)) for a, b in zip(x, y)]
@@ -243,13 +264,17 @@ def multi_line_png(path: str, series: dict, width: int = 640,
     (test_forest_vote.py:464-502, hue=popularity). ``series`` maps a
     label (digits / lowercase / x / - / . , e.g. "16x8", "ideal") to an
     (xs, ys) pair;
-    colors cycle through ``SERIES_COLORS`` in insertion order."""
+    colors cycle through ``SERIES_COLORS`` in insertion order. Each
+    series is drawn in ASCENDING-X order regardless of input order (the
+    sweep-overlay convention — a deliberate difference from line_png,
+    which connects points in input order); non-finite points are
+    dropped."""
     if not series:
         raise ValueError("series must be non-empty")
-    for label, (xs, ys) in series.items():
-        if len(xs) != len(ys) or not xs:
-            raise ValueError(f"series {label!r}: x and y must be "
-                             "equal-length and non-empty")
+    series = {
+        label: _clean_xy(xs, ys, what=f"series {label!r}")
+        for label, (xs, ys) in series.items()
+    }
     all_x = [v for xs, _ in series.values() for v in xs]
     all_y = [v for _, ys in series.values() for v in ys]
     cv = Canvas(width, height)
@@ -284,23 +309,28 @@ def hbar_png(path: str, items: dict, width: int = 640,
     ml = min(label_w, width // 2)
     ax = _Axes(cv, 0.0, max(vals), 0.0, float(len(items)), ml=ml)
     band = (ax.py1 - ax.py0) / len(items)
+    # below ~7px per bar the 2px gaps would invert the band (fill_rect's
+    # min/max swap then paints over neighbors) and the 5px glyphs
+    # overprint: shrink the gap and drop the text, keep the bars
+    gap = 2 if band >= 7 else 0
+    draw_text = band >= 7
     for i, (label, v) in enumerate(items.items()):
-        y0 = ax.py0 + round(i * band) + 2
-        y1 = ax.py0 + round((i + 1) * band) - 2
+        y0 = ax.py0 + round(i * band) + gap
+        y1 = max(y0, ax.py0 + round((i + 1) * band) - gap)
         x1 = ax.px(float(v))
         cv.fill_rect(ax.px0 + 1, y0, max(ax.px0 + 1, x1), y1, color)
-        ty = (y0 + y1) // 2 - 2
-        cv.text(max(0, ax.px0 - 4 * len(str(label)) - 2), ty, str(label))
-        cv.text(min(x1 + 3, cv.w - 4 * len(_fmt(v))), ty, _fmt(v))
+        if draw_text:
+            ty = (y0 + y1) // 2 - 2
+            cv.text(max(0, ax.px0 - 4 * len(str(label)) - 2), ty, str(label))
+            cv.text(min(x1 + 3, cv.w - 4 * len(_fmt(v))), ty, _fmt(v))
     return cv.save(path)
 
 
 def scatter_identity_png(path: str, x: Sequence[float], y: Sequence[float],
                          width: int = 640, height: int = 480) -> str:
     """Scatter + dashed red y=x — ``plot_with_identity_line``
-    (plotting.py:14-32)."""
-    if len(x) != len(y) or not x:
-        raise ValueError("x and y must be equal-length and non-empty")
+    (plotting.py:14-32). Non-finite points are dropped."""
+    x, y = _clean_xy(x, y)
     lo, hi = min(min(x), min(y)), max(max(x), max(y))
     cv = Canvas(width, height)
     ax = _Axes(cv, lo, hi, lo, hi)
@@ -313,9 +343,12 @@ def scatter_identity_png(path: str, x: Sequence[float], y: Sequence[float],
 def scatter_trend_png(path: str, x: Sequence[float], y: Sequence[float],
                       deg: int = 1, width: int = 640, height: int = 480) -> str:
     """Scatter + dashed least-squares trend — ``plot_with_trendline``
-    (plotting.py:34-51)."""
-    if len(x) != len(y) or len(x) <= deg:
-        raise ValueError("need more points than the polynomial degree")
+    (plotting.py:34-51). Non-finite points are dropped."""
+    if len(x) != len(y):
+        raise ValueError("x and y must be equal-length")
+    x, y = _clean_xy(x, y)
+    if len(x) <= deg:
+        raise ValueError("need more finite points than the polynomial degree")
     xs, ys = np.asarray(x, dtype=float), np.asarray(y, dtype=float)
     coeffs = np.polyfit(xs, ys, deg=deg)
     grid = np.linspace(xs.min(), xs.max(), 200)
@@ -371,24 +404,28 @@ def histogram_bins(df: DataFrame, col: str, bins: int = 30,
                    weight_col: str | None = None) -> list:
     """Distributed fixed-width binning: one min/max agg + one floor-bucket
     groupBy; returns ≤ ``bins`` rows of (bin_lo, bin_hi, count) to the
-    driver. Nulls are dropped. A constant column degenerates to one bin."""
+    driver. Nulls AND NaN are dropped (NaN is not null in Spark and
+    sorts above every value — one 0/0 ratio would otherwise poison the
+    max and yield NaN bin edges). Weighted counts are rounded, not
+    floored. A constant column degenerates to one bin. Runs two actions
+    over ``df`` — pass a persisted DataFrame when the input is itself an
+    expensive aggregate."""
     if bins < 1:
         raise ValueError("bins must be >= 1")
     c = F.col(col).cast("double")
-    vals = df.where(c.isNotNull())
+    vals = df.where(c.isNotNull() & ~F.isnan(c))
     ext = vals.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
     if ext is None or ext["lo"] is None:
         return []
     lo, hi = float(ext["lo"]), float(ext["hi"])
+    w = F.lit(1) if weight_col is None else F.col(weight_col)
     if hi <= lo:
-        w = F.lit(1) if weight_col is None else F.col(weight_col)
         n = vals.agg(F.sum(w).alias("n")).first()["n"]
-        return [(lo, lo, int(n))]
+        return [(lo, lo, int(round(n or 0)))]
     width = (hi - lo) / bins
     bin_expr = F.least(
         F.floor((c - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(bins - 1)
     ).alias("bin")
-    w = F.lit(1) if weight_col is None else F.col(weight_col)
     rows = (
         vals.select(bin_expr, w.alias("w"))
         .groupBy("bin")
@@ -396,8 +433,11 @@ def histogram_bins(df: DataFrame, col: str, bins: int = 30,
         .orderBy("bin")
         .collect()
     )
-    return [(lo + r["bin"] * width, lo + (r["bin"] + 1) * width, int(r["n"]))
-            for r in rows]
+    return [
+        (lo + r["bin"] * width, lo + (r["bin"] + 1) * width,
+         int(round(r["n"] or 0)))
+        for r in rows
+    ]
 
 
 def _render_hist(cv: Canvas, binrows: list, color, *, ox=0, oy=0,
@@ -434,10 +474,15 @@ def cluster_size_histogram_png(assignments: DataFrame, path: str,
     """Flagship-pipeline sink: histogram of dedup cluster sizes. Two
     distributed aggs (groupBy cluster → count, then binning); the driver
     only ever sees ≤ ``bins`` rows."""
-    sizes = assignments.groupBy(cluster_col).agg(F.count("*").alias("cluster_n"))
-    cv = Canvas(width, height)
-    _render_hist(cv, histogram_bins(sizes, "cluster_n", bins), LIGHTGREEN)
-    return cv.save(path)
+    sizes = assignments.groupBy(cluster_col).agg(
+        F.count("*").alias("cluster_n")
+    ).persist()  # feeds histogram_bins' two actions — shuffle once
+    try:
+        cv = Canvas(width, height)
+        _render_hist(cv, histogram_bins(sizes, "cluster_n", bins), LIGHTGREEN)
+        return cv.save(path)
+    finally:
+        sizes.unpersist()
 
 
 def dedup_report_pngs(out_dir: str, *, clusters: DataFrame | None = None,
@@ -490,10 +535,13 @@ def forest_statistics_png(bands: DataFrame, path: str, bins: int = 30,
     (forest_insights.py:190-262) over the materialized band tables:
     (1) bucket-size distribution, (2) buckets per depth, (3) average
     bucket size by depth, (4) docs per depth. One distributed pass builds
-    a per-bucket table; every panel renders from ≤ ``bins``-row collects."""
+    a per-bucket table (persisted — it feeds the per-depth collect AND
+    histogram_bins' two actions; without the persist the full band-table
+    groupBy would re-shuffle three times); every panel renders from
+    ≤ ``bins``-row collects."""
     buckets = bands.groupBy("band_id", "depth", "band_hash").agg(
         F.count("*").alias("bucket_n")
-    )
+    ).persist()
     per_depth = (
         buckets.groupBy("depth")
         .agg(
@@ -505,12 +553,16 @@ def forest_statistics_png(bands: DataFrame, path: str, bins: int = 30,
         .collect()
     )
     if not per_depth:
+        buckets.unpersist()
         raise ValueError("empty band table")
     cv = Canvas(width, height)
     hw, hh = width // 2, height // 2
     # (1) bucket-size distribution (hist, distributed binning)
-    _render_hist(cv, histogram_bins(buckets, "bucket_n", bins), LIGHTGREEN,
-                 ox=0, oy=0, pw=hw, ph=hh)
+    try:
+        binrows = histogram_bins(buckets, "bucket_n", bins)
+    finally:
+        buckets.unpersist()  # last buckets action — the rest is per_depth
+    _render_hist(cv, binrows, LIGHTGREEN, ox=0, oy=0, pw=hw, ph=hh)
     # (2) buckets per depth (bar)
     depths = [r["depth"] for r in per_depth]
     nb = [r["num_buckets"] for r in per_depth]

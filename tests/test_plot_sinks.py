@@ -292,3 +292,64 @@ def test_hbar_and_plot_bench(tmp_path):
     again = plot_bench_artifact(artifact, out_dir=str(tmp_path / "c2"))
     for a, b in zip(written, again):
         assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_numpy_inputs_and_nonfinite_dropped(tmp_path):
+    """Review hardening: numpy arrays are valid inputs (len-based guard,
+    not truthiness) and non-finite points drop instead of crashing the
+    rasterizer with an opaque int-conversion error."""
+    import numpy as np
+
+    p = P.line_png(str(tmp_path / "np.png"),
+                   np.array([1.0, 2.0, 3.0]), np.array([1.0, 4.0, 9.0]))
+    assert decode_png(open(p, "rb").read())[0] == 640
+    p2 = P.line_png(str(tmp_path / "nan.png"),
+                    [0.0, 1.0, 2.0], [0.0, float("nan"), 2.0])
+    assert decode_png(open(p2, "rb").read())[0] == 640
+    P.scatter_identity_png(str(tmp_path / "inf.png"),
+                           [0.0, 1.0, float("inf")], [0.0, 1.0, 2.0])
+    with pytest.raises(ValueError, match="no finite points"):
+        P.line_png(str(tmp_path / "allnan.png"),
+                   [float("nan")], [float("nan")])
+
+
+def test_histogram_bins_drop_nan_and_round_weights(spark):
+    """One NaN (0/0 ratio) must not poison min/max into NaN bin edges,
+    and fractional weights round instead of flooring to zero."""
+    df = spark.createDataFrame(
+        [(0.0,), (1.0,), (2.0,), (float("nan"),)], "v double"
+    )
+    rows = P.histogram_bins(df, "v", bins=2)
+    # NaN dropped: edges are finite and only {0},{1,2} are counted
+    assert rows == [(0.0, 1.0, 1), (1.0, 2.0, 2)]
+    wdf = spark.createDataFrame(
+        [(0.0, 0.45), (0.0, 0.45)], "v double, w double"
+    )
+    # constant column, weights sum to 0.9 -> rounds to 1, not floors to 0
+    assert P.histogram_bins(wdf, "v", bins=5, weight_col="w") == [(0.0, 0.0, 1)]
+
+
+def test_hbar_many_items_no_band_inversion(tmp_path):
+    """200 bars at default height: bands are ~2px; bars must not invert
+    and bleed across neighbors (labels are dropped below ~7px bands)."""
+    items = {f"q{i}": float(i % 7 + 1) for i in range(200)}
+    p = P.hbar_png(str(tmp_path / "many.png"), items)
+    w, h, px = decode_png(open(p, "rb").read())
+    assert (w, h) == (640, 480)
+    # the largest value rows must contain blue pixels; background white
+    assert any(v == P.BLUE for v in px.values())
+
+
+def test_font_underscore_and_uppercase_render(tmp_path):
+    """'_' has a real glyph and uppercase falls back to the lowercase
+    glyph instead of a blank."""
+    c1 = P.Canvas(40, 10)
+    c1.text(1, 1, "a_b")
+    c2 = P.Canvas(40, 10)
+    c2.text(1, 1, "a b")
+    assert c1.to_png() != c2.to_png()
+    c3 = P.Canvas(40, 10)
+    c3.text(1, 1, "ABC")
+    c4 = P.Canvas(40, 10)
+    c4.text(1, 1, "abc")
+    assert c3.to_png() == c4.to_png()
