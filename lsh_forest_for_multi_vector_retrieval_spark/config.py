@@ -57,8 +57,11 @@ class DedupConfig:
     # a multi-GB LongHashedRelation past the autoBroadcastJoinThreshold
     # (a broadcast hash relation costs ~30-50 B/row on the executor heap,
     # not the 8 B/row of the raw longs: 10M ids ~ 0.3-0.5 GB, a safe
-    # ceiling for 8 GB executors). The id count is known exactly at plan
-    # time — the prune counts the checkpointed id table it joins with.
+    # ceiling for 8 GB executors). Gating is two-tier (verify.py): the
+    # shuffle-free bound 2*|pairs| fast-paths the common case, and only
+    # when that bound is exceeded is the exact distinct-id count
+    # materialized and compared — so this knob is always an EXACT id
+    # ceiling, at one extra action only on duplicate-dense inputs.
     verify_prune_max_ids: int = 10_000_000
 
     # --- skew / scale controls (north_rule: explicit skew handling) ---

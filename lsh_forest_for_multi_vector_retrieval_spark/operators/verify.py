@@ -54,9 +54,11 @@ def _join_shingles(
     would force a multi-GB hash relation past the
     autoBroadcastJoinThreshold, so oversized id sets fall back to a
     shuffle semi-join of the slim id column — still far cheaper than
-    shuffling the shingle arrays. The gate costs one shuffle-free count
-    of the slim pair table (2*|pairs| bounds |ids| from above), not an
-    exact distinct count — see the inline note.
+    shuffling the shingle arrays. The gate is two-tier: a shuffle-free
+    2*|pairs| bound fast-paths the common case, and the exact distinct
+    count (one extra action on a materialized slim table) rescues
+    duplicate-dense corpora where millions of pairs span few docs — see
+    the inline note.
 
     The prune traverses the pair plan TWICE (the candidate-id distinct
     plus the pair join itself), so an UNCACHED ``pairs`` plan would
@@ -68,10 +70,14 @@ def _join_shingles(
     ``pairs`` is ALREADY cheap to traverse twice — persisted
     (``minhash_dedup(persist_intermediates=True)``, streaming) or a bare
     checkpointed-parquet scan (``plans.pipeline``) — skip it: persisted
-    inputs via the storageLevel check, parquet-backed ones via
-    ``materialize_pairs=False`` (re-scanning a slim pair file twice is
-    cheaper than copying it into block-manager storage that lingers
-    until ContextCleaner GCs the reference).
+    inputs via the storageLevel check, parquet-backed OR
+    already-localCheckpointed ones via ``materialize_pairs=False``
+    (re-scanning a slim pair file twice is cheaper than copying it into
+    block-manager storage that lingers until ContextCleaner GCs the
+    reference). NOTE ``Dataset.storageLevel`` consults only the cache
+    manager and reads NONE for checkpointed plans, so a caller that
+    pre-checkpoints MUST pass ``materialize_pairs=False`` itself or pay
+    a redundant second checkpoint copy.
     """
     if prune:
         if materialize_pairs and pairs.storageLevel == StorageLevel.NONE:
@@ -81,16 +87,26 @@ def _join_shingles(
             .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
             .distinct()
         )
-        # Gate on a SHUFFLE-FREE upper bound: each pair contributes at
-        # most two ids, so 2*|pairs| >= |cand_ids|. One cheap count of
+        # Gate on a SHUFFLE-FREE upper bound first: each pair contributes
+        # at most two ids, so 2*|pairs| >= |cand_ids|. One cheap count of
         # the slim (checkpointed / parquet-backed) pair table instead of
         # materializing the distinct twice — the exact-count variant
         # measurably cost the 4-core scaling leg ~2 s of serial driver
         # time (two extra job launches + a checkpointed shuffle) at 320k
-        # docs. Conservative only past max_broadcast_ids/2 pairs, where
-        # the shuffle semi-join fallback is the safe plan anyway.
+        # docs. When the bound is exceeded, do NOT give up on the
+        # broadcast yet: on duplicate-dense corpora (one hot cluster of
+        # 50k docs can emit millions of pairs) the DISTINCT id set may
+        # still be tiny, and the shuffle fallback would exchange the full
+        # signature table's shingle arrays — the exact shuffle the prune
+        # exists to avoid. Materialize the slim distinct once and gate on
+        # its exact count; the extra action only runs in the oversized
+        # case, where its cost is dwarfed by either downstream plan.
         if 2 * pairs.count() <= max_broadcast_ids:
             cand_ids = F.broadcast(cand_ids)
+        else:
+            cand_ids = cand_ids.localCheckpoint(eager=True)
+            if cand_ids.count() <= max_broadcast_ids:
+                cand_ids = F.broadcast(cand_ids)
         docs = docs.join(cand_ids, id_col, "left_semi")
     cols = ["shingles"] + (["simhash"] if "simhash" in docs.columns else [])
     a = docs.select(
@@ -164,12 +180,17 @@ def verify_pairs_pandas(
     cfg: DedupConfig = DedupConfig(),
     id_col: str = "doc_id",
     num_groups: int = 64,
+    materialize_pairs: bool = True,
 ) -> DataFrame:
     """applyInPandas verification (north_star-mandated shape).
 
     Pairs are salted into ``num_groups`` groups (uniform by pair hash) so
     each Arrow batch carries many pairs — group-per-pair would be
-    pathological at scale; group-per-salt keeps batches dense.
+    pathological at scale; group-per-salt keeps batches dense. Applies
+    the same optional SimHash prefilter as ``verify_pairs`` (the two
+    implementations must stay byte-identical under EVERY config, not
+    just the default), and NULL shingle arrays fold to jaccard 0.0
+    exactly like the JVM path's when/otherwise.
     """
     joined = _join_shingles(
         pairs,
@@ -177,7 +198,14 @@ def verify_pairs_pandas(
         id_col,
         prune=cfg.verify_prune_candidates,
         max_broadcast_ids=cfg.verify_prune_max_ids,
-    ).withColumn(
+        materialize_pairs=materialize_pairs,
+    )
+    if (
+        cfg.simhash_prefilter_max_hamming is not None
+        and "simhash_a" in joined.columns
+    ):
+        joined = simhash_prefilter(joined, cfg.simhash_prefilter_max_hamming)
+    joined = joined.withColumn(
         "grp", F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(num_groups))
     )
 
@@ -187,8 +215,9 @@ def verify_pairs_pandas(
         sa = pdf["shingles_a"].to_numpy()
         sb = pdf["shingles_b"].to_numpy()
         for i in range(n):
-            a = np.asarray(sa[i], dtype=np.int64)
-            b = np.asarray(sb[i], dtype=np.int64)
+            va, vb = sa[i], sb[i]
+            a = np.asarray(va if va is not None else [], dtype=np.int64)
+            b = np.asarray(vb if vb is not None else [], dtype=np.int64)
             if len(a) == 0 and len(b) == 0:
                 jac[i] = 0.0
                 continue

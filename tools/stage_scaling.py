@@ -97,7 +97,12 @@ def staged():
     cands = candidate_pairs(bands, cfg).localCheckpoint(eager=True)
     t["pairs"] = time.perf_counter() - t0
     t0 = time.perf_counter()
-    verified = verify_pairs(cands, sigs, cfg).localCheckpoint(eager=True)
+    # cands is already an eager localCheckpoint: tell the prune not to
+    # copy it into a second block-manager checkpoint (the storageLevel
+    # probe cannot see checkpointed-ness — only the cache manager)
+    verified = verify_pairs(
+        cands, sigs, cfg, materialize_pairs=False
+    ).localCheckpoint(eager=True)
     t["verify"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     clusters = connected_components(
