@@ -162,3 +162,80 @@ def test_state_params_fingerprint_guard(spark, tmp_path):
         IncrementalDedup(state, CFG)
     IncrementalDedup(state, CFG, trust_legacy_state=True)  # stamps it
     IncrementalDedup(state, CFG)  # marker restored, re-opens fine
+
+
+def test_history_hot_bucket_cap_bounds_pairs(spark):
+    """Round-5 review: a boilerplate bucket growing over stream lifetime
+    must not emit |bucket| pairs per new doc per batch — the history
+    side is pruned to colliding buckets and capped to the
+    max_bucket_docs smallest doc_ids, deterministically."""
+    from lsh_forest_for_multi_vector_retrieval_spark.streaming.incremental import (
+        history_collisions,
+    )
+
+    # one hot bucket with 1000 history docs, one new doc colliding
+    old = spark.range(1000).selectExpr(
+        "cast(0 as int) as band_id", "cast(7 as long) as band_hash",
+        "id as doc_id",
+    )
+    new = spark.createDataFrame(
+        [(0, 7, 10_000)], "band_id int, band_hash long, doc_id long"
+    )
+    capped = history_collisions(new, old, max_bucket_docs=64).collect()
+    assert len(capped) == 64
+    # deterministic keep rule: the 64 SMALLEST history ids
+    assert {r.doc_a for r in capped} == set(range(64))
+    uncapped = history_collisions(new, old).count()
+    assert uncapped == 1000
+
+
+def test_hwm_guard_refuses_renumbered_batches(spark, tmp_path):
+    """Round-5 review: deleting the streaming checkpoint while keeping
+    the state dir restarts batch_ids at 0 — re-numbered batches would
+    silently overwrite committed history partitions. The high-water
+    mark must refuse (replaying the SAME id stays legal: at-least-once
+    delivery)."""
+    pages = generate_pages(
+        spark, n_clusters=3, cluster_size=2, n_singletons=5, seed=11
+    ).select("doc_id", "text")
+    inc = IncrementalDedup(str(tmp_path / "hwm_state"), CFG)
+    inc.process_batch(pages, 0)
+    inc.process_batch(pages, 1)
+    inc.process_batch(pages, 1)  # replay of the in-flight batch: legal
+    with pytest.raises(ValueError, match="high-water"):
+        inc.process_batch(pages, 0)  # checkpoint reset: refused
+
+
+def test_empty_state_tables_read_back(spark, tmp_path):
+    """Round-5 review: a stream that found zero duplicates (or whose
+    batch produced zero band rows) writes data-file-less partitioned
+    dirs; declared schemas must read them as empty frames instead of
+    failing schema inference."""
+    # all-blank docs: no shingles -> empty bands, no pairs
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "  ")], "doc_id long, text string"
+    )
+    inc = IncrementalDedup(str(tmp_path / "empty_state"), CFG)
+    inc.process_batch(docs, 0)
+    assert inc.pairs(spark).count() == 0
+    # the next batch must survive reading the empty history tables
+    docs2 = spark.createDataFrame(
+        [(4, "some real text with enough words to shingle properly here"),
+         (5, "some real text with enough words to shingle properly here")],
+        "doc_id long, text string",
+    )
+    inc.process_batch(docs2, 1)
+    got = {(r.doc_a, r.doc_b) for r in inc.pairs(spark).collect()}
+    assert got == {(4, 5)}
+
+
+def test_adaptive_bands_rejected_by_streaming(tmp_path):
+    """use_adaptive_bands derives depths from global bucket statistics an
+    append-only stream cannot know; constructing with it must fail loudly
+    instead of silently banding at fixed depth."""
+    from dataclasses import replace
+
+    with pytest.raises(ValueError, match="adaptive"):
+        IncrementalDedup(
+            str(tmp_path / "ad_state"), replace(CFG, use_adaptive_bands=True)
+        )
