@@ -30,6 +30,15 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lsh_forest_for_multi_vector_retrieval_spark.fsutil import (
+    fs_append_text,
+    fs_delete,
+    fs_exists,
+    fs_mkdirs,
+    fs_read_text,
+    fs_write_text,
+)
+
 
 @dataclass(frozen=True)
 class Stage:
@@ -52,12 +61,11 @@ class PipelineRun:
     executed: list[str] = field(default_factory=list)
 
 
-def _stage_dir(workdir: str, stage: str) -> Path:
-    return Path(workdir) / stage
-
-
-def _is_complete(path: Path) -> bool:
-    return (path / "_SUCCESS").exists()
+def _stage_dir(workdir: str, stage: str) -> str:
+    # plain string join: pathlib mangles URI schemes ("hdfs://ns/x" ->
+    # "hdfs:/ns/x") and checks the driver's local disk, not the
+    # session's filesystem
+    return workdir.rstrip("/") + "/" + stage
 
 
 class CheckpointIO:
@@ -129,14 +137,18 @@ class CheckpointIO:
             )
         except Exception:
             return None
-        # any spark.sql.catalog.<name> bound to an Iceberg catalog impl
+        # any spark.sql.catalog.<name> bound to an Iceberg catalog impl.
+        # SQLConf via SET, not sparkContext.getConf(): the SparkConf only
+        # holds creation-time properties, so a catalog registered at
+        # runtime (spark.conf.set in a notebook) would be invisible and
+        # the knob would spuriously degrade to parquet (round-5 review)
         try:
-            conf = self.spark.sparkContext.getConf().getAll()
+            conf = [(r["key"], r["value"]) for r in self.spark.sql("SET").collect()]
         except Exception:
             return None
         for key, val in conf:
             m = re.fullmatch(r"spark\.sql\.catalog\.([A-Za-z0-9_]+)", key)
-            if m and "iceberg" in val.lower():
+            if m and val and "iceberg" in val.lower():
                 return m.group(1)
         return None
 
@@ -146,36 +158,66 @@ class CheckpointIO:
     def exists(self, stage: str) -> bool:
         if self.active == "iceberg":
             return self.spark.catalog.tableExists(self._table(stage))
-        return _is_complete(_stage_dir(self.workdir, stage))
+        return fs_exists(
+            self.spark, _stage_dir(self.workdir, stage) + "/_SUCCESS"
+        )
 
     def read(self, stage: str) -> DataFrame:
         if self.active == "iceberg":
             return self.spark.read.table(self._table(stage))
-        return self.spark.read.parquet(str(_stage_dir(self.workdir, stage)))
+        return self.spark.read.parquet(_stage_dir(self.workdir, stage))
+
+    def delete(self, stage: str) -> None:
+        """Remove a stage checkpoint — invalidation must be DURABLE, not
+        in-memory: a crash between an upstream rewrite and a downstream
+        recompute would otherwise leave a stale-but-complete downstream
+        checkpoint that a later resume silently mixes with the new
+        upstream data (round-5 review)."""
+        if self.active == "iceberg":
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._table(stage)}")
+            return
+        fs_delete(self.spark, _stage_dir(self.workdir, stage))
 
     def write(self, df: DataFrame, stage: str, partition_cols: tuple[str, ...]) -> None:
         if self.active == "iceberg":
             writer = df.writeTo(self._table(stage)).using("iceberg")
-            if "doc_id" in df.columns:
+            # explicit stage partitioning wins; the doc_id bucket spec is
+            # the FALLBACK (round-5 review: the old precedence made the
+            # declared band-key clustering unreachable for any table that
+            # also carried doc_id). Declared cols map to bucket(16, c)
+            # transforms, not identity partitions — identity on a
+            # high-cardinality key (band_hash) would mint a partition per
+            # distinct value
+            if partition_cols:
+                writer = writer.partitionedBy(
+                    *[F.bucket(16, F.col(c)) for c in partition_cols]
+                )
+            elif "doc_id" in df.columns:
                 writer = writer.partitionedBy(F.bucket(16, F.col("doc_id")))
-            elif partition_cols:
-                writer = writer.partitionedBy(*[F.col(c) for c in partition_cols])
             writer.createOrReplace()
             return
         if partition_cols:
             df = df.repartition(*[F.col(c) for c in partition_cols])
-        df.write.mode("overwrite").parquet(str(_stage_dir(self.workdir, stage)))
+        df.write.mode("overwrite").parquet(_stage_dir(self.workdir, stage))
 
 
 def partition_lineage(df: DataFrame) -> list[dict]:
     """Per-partition row counts — the lineage record (north_rule).
-    Computed with ``spark_partition_id``, one narrow agg."""
+    Computed with ``spark_partition_id``, one narrow agg. EMPTY
+    partitions are filled in as zero rows (the groupBy emits no group
+    for them): a layout with 190 empty partitions out of 200 is exactly
+    the skew this metric exists to surface, and dropping the zeros made
+    it report a healthy-looking 10-partition table (round-5 review)."""
+    n_parts = df.rdd.getNumPartitions()
     rows = (
         df.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(F.count("*").alias("rows"))
         .collect()
     )
-    return [{"partition_id": r.partition_id, "rows": r.rows} for r in rows]
+    counts = {r.partition_id: r.rows for r in rows}
+    return [
+        {"partition_id": p, "rows": counts.get(p, 0)} for p in range(n_parts)
+    ]
 
 
 class Pipeline:
@@ -184,6 +226,7 @@ class Pipeline:
         stages: list[Stage],
         workdir: str,
         checkpoint_format: str = "parquet",
+        fingerprint: dict | None = None,
     ):
         names = [s.name for s in stages]
         if len(set(names)) != len(names):
@@ -191,7 +234,29 @@ class Pipeline:
         self.stages = stages
         self.workdir = workdir
         self.checkpoint_format = checkpoint_format
+        #: result-determining identity of this pipeline (config + input);
+        #: stamped into the workdir so a resume under DIFFERENT settings
+        #: fails loudly instead of silently returning stale checkpoints
+        self.fingerprint = fingerprint
         self.active_format: str | None = None  # set at run() time
+
+    def _check_fingerprint(self, spark: SparkSession, resume: bool) -> None:
+        if self.fingerprint is None:
+            return
+        marker = self.workdir.rstrip("/") + "/_config.json"
+        want = json.dumps(self.fingerprint, sort_keys=True, default=repr)
+        if fs_exists(spark, marker):
+            have = fs_read_text(spark, marker)
+            if have != want and resume:
+                raise ValueError(
+                    "workdir was stamped under a different pipeline "
+                    "fingerprint (config and/or input changed) — a resume "
+                    "would silently return checkpoints computed under the "
+                    "old settings. Re-run with resume=False (full "
+                    "recompute, re-stamps the workdir) or use a fresh "
+                    f"workdir. stored={have} requested={want}"
+                )
+        fs_write_text(spark, marker, want)
 
     def run(
         self,
@@ -203,18 +268,38 @@ class Pipeline:
         """Execute all stages; with ``resume`` (default) stages whose
         checkpoint is complete are loaded, not recomputed. ``force_from``
         invalidates a stage and everything after it."""
+        if force_from is not None and force_from not in {
+            s.name for s in self.stages
+        }:
+            raise ValueError(
+                f"force_from={force_from!r} matches no stage "
+                f"(stages: {[s.name for s in self.stages]}) — a typo here "
+                "would silently resume everything from checkpoints"
+            )
         run = PipelineRun(self.workdir, run_id or uuid.uuid4().hex[:12])
-        Path(self.workdir).mkdir(parents=True, exist_ok=True)
+        fs_mkdirs(spark, self.workdir)
         io = CheckpointIO(spark, self.workdir, self.checkpoint_format)
         self.active_format = io.active
+        self._check_fingerprint(spark, resume)
         invalid = False
-        for stage in self.stages:
+        wiped = False
+        for i, stage in enumerate(self.stages):
             if force_from == stage.name:
                 invalid = True
             if resume and not invalid and io.exists(stage.name):
                 run.outputs[stage.name] = io.read(stage.name)
                 run.skipped.append(stage.name)
                 continue
+            if not wiped:
+                # first recomputed stage: durably invalidate it AND
+                # everything downstream BEFORE writing anything — a crash
+                # mid-run must never leave a stale-but-complete checkpoint
+                # (its own, if the recompute was forced; a later one, if
+                # upstream was rewritten) that the next resume silently
+                # returns
+                for doomed in self.stages[i:]:
+                    io.delete(doomed.name)
+                wiped = True
             invalid = True  # downstream of a recomputed stage recomputes
             t0 = time.perf_counter()
             out = stage.fn(spark, run.outputs)
@@ -251,15 +336,22 @@ class Pipeline:
         }
         if extra:
             rec.update(extra)
-        metrics_path = Path(self.workdir) / "_metrics.jsonl"
-        with metrics_path.open("a") as f:
-            f.write(json.dumps(rec) + "\n")
+        fs_append_text(
+            df.sparkSession,
+            self.workdir.rstrip("/") + "/_metrics.jsonl",
+            json.dumps(rec) + "\n",
+        )
 
-    def metrics(self) -> list[dict]:
-        metrics_path = Path(self.workdir) / "_metrics.jsonl"
-        if not metrics_path.exists():
+    def metrics(self, spark: SparkSession | None = None) -> list[dict]:
+        spark = spark or SparkSession.getActiveSession()
+        path = self.workdir.rstrip("/") + "/_metrics.jsonl"
+        if spark is None or not fs_exists(spark, path):
             return []
-        return [json.loads(line) for line in metrics_path.open()]
+        return [
+            json.loads(line)
+            for line in fs_read_text(spark, path).splitlines()
+            if line.strip()
+        ]
 
 
 def dedup_pipeline(
@@ -358,6 +450,8 @@ def dedup_pipeline(
             max_iterations=cfg.cc_max_iterations,
         )
 
+    from dataclasses import asdict
+
     return Pipeline(
         [
             Stage("signatures", s_signatures),
@@ -368,4 +462,14 @@ def dedup_pipeline(
         ],
         workdir,
         checkpoint_format=cfg.checkpoint_format,
+        # result-determining identity: every config knob + the input
+        # location + column mapping. A resume over this workdir under any
+        # other value fails loudly (round-5 review: changed
+        # jaccard_threshold silently returned the old clusters).
+        fingerprint={
+            "cfg": asdict(cfg),
+            "input_path": input_path,
+            "text_col": text_col,
+            "id_col": id_col,
+        },
     )

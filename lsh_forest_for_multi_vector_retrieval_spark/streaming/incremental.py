@@ -63,39 +63,15 @@ SIGS_SCHEMA = (
 PAIRS_SCHEMA = "doc_a bigint, doc_b bigint, jaccard double, batch_id int"
 
 
-def _hadoop_fs(spark: SparkSession, path: str):
-    """(FileSystem, Path) for ``path`` under the session's Hadoop conf —
-    resolves exactly like the DataFrame reader/writer does (local,
-    hdfs://, s3a://, ...), unlike driver-local ``pathlib``."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, jpath
-
-
-def _fs_exists(spark: SparkSession, path: str) -> bool:
-    fs, jpath = _hadoop_fs(spark, path)
-    return fs.exists(jpath)
-
-
-def _fs_read_text(spark: SparkSession, path: str) -> str:
-    fs, jpath = _hadoop_fs(spark, path)
-    stream = fs.open(jpath)
-    try:
-        return spark._jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
-    finally:
-        stream.close()
-
-
-def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
-    fs, jpath = _hadoop_fs(spark, path)
-    out = fs.create(jpath, True)
-    try:
-        out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
+from lsh_forest_for_multi_vector_retrieval_spark.fsutil import (  # noqa: E402
+    fs_exists as _fs_exists,
+)
+from lsh_forest_for_multi_vector_retrieval_spark.fsutil import (  # noqa: E402
+    fs_read_text as _fs_read_text,
+)
+from lsh_forest_for_multi_vector_retrieval_spark.fsutil import (  # noqa: E402
+    fs_write_text as _fs_write_text,
+)
 
 
 def history_collisions(

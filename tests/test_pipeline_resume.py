@@ -109,3 +109,75 @@ def test_metrics_lineage_recorded(spark, corpus_path, tmp_path):
     assert by["bands"]["rows"] == by["signatures"]["rows"] * CFG.num_bands
     n_docs = by["signatures"]["rows"]
     assert by["clusters"]["rows"] == n_docs
+
+
+def test_force_from_typo_raises(spark, corpus_path, tmp_path):
+    """Round-5 review: a force_from typo used to match nothing and
+    silently resume everything from checkpoints."""
+    pipe = dedup_pipeline(corpus_path, str(tmp_path / "wd_typo"), CFG)
+    with pytest.raises(ValueError, match="matches no stage"):
+        pipe.run(spark, force_from="verify")  # real name is 'verified'
+
+
+def test_invalidation_is_durable_across_crash(spark, corpus_path, tmp_path):
+    """Round-5 review: recomputing a stage must DELETE downstream
+    checkpoints before writing — a crash after the upstream rewrite
+    previously left stale-but-complete downstream checkpoints that the
+    next resume silently mixed with new upstream data."""
+    wd = str(tmp_path / "wd_crash")
+    pipe = dedup_pipeline(corpus_path, wd, CFG)
+    pipe.run(spark)  # complete run: all 5 checkpoints on disk
+
+    # force a recompute from 'bands' that crashes DURING bands (before
+    # any downstream stage runs): the stale candidates/verified/clusters
+    # checkpoints must already be gone
+    boom = RuntimeError("simulated crash")
+    real_fn = pipe.stages[1].fn
+
+    def crashing(spark_, deps):
+        raise boom
+
+    object.__setattr__(pipe.stages[1], "fn", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipe.run(spark, force_from="bands")
+    object.__setattr__(pipe.stages[1], "fn", real_fn)
+
+    # resume after the crash: nothing stale may be skipped — bands and
+    # everything after it recompute
+    run = pipe.run(spark)
+    assert run.skipped == ["signatures"]
+    assert run.executed == ["bands", "candidates", "verified", "clusters"]
+
+
+def test_fingerprint_guard_refuses_changed_config(spark, corpus_path, tmp_path):
+    """Round-5 review: resuming a workdir under a different config used
+    to silently return the old checkpoints."""
+    from dataclasses import replace
+
+    wd = str(tmp_path / "wd_fp")
+    dedup_pipeline(corpus_path, wd, CFG).run(spark)
+    changed = dedup_pipeline(corpus_path, wd, replace(CFG, jaccard_threshold=0.5))
+    with pytest.raises(ValueError, match="fingerprint"):
+        changed.run(spark)
+    # full recompute re-stamps and succeeds
+    run = changed.run(spark, resume=False)
+    assert run.skipped == []
+    # and the new stamp now resumes cleanly under the new config
+    run2 = changed.run(spark)
+    assert run2.executed == []
+
+
+def test_partition_lineage_counts_empty_partitions(spark):
+    """Round-5 review: zero-row partitions are the skew signal — they
+    must appear in the lineage as zeros, not vanish."""
+    from lsh_forest_for_multi_vector_retrieval_spark.plans.pipeline import (
+        partition_lineage,
+    )
+
+    df = spark.range(10).repartition(8, "id")
+    lin = partition_lineage(df)
+    assert len(lin) == 8
+    assert sum(p["rows"] for p in lin) == 10
+    empty = spark.range(0).repartition(4)
+    lin0 = partition_lineage(empty)
+    assert len(lin0) == 4 and all(p["rows"] == 0 for p in lin0)
