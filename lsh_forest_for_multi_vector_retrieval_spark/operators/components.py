@@ -98,7 +98,11 @@ def _star_labels(
     )
     prev_sig = None
     rounds = 0
-    for _ in range(max_iterations):
+    # max_iterations CONTRACTION rounds plus one detection round: the
+    # fixed point is only observable one round after it is reached (the
+    # signature compare needs an identical successor), so without the +1
+    # a graph converging exactly at round N warned spuriously
+    for _ in range(max_iterations + 1):
         rounds += 1
         # --- large-star: every neighbor v > u links to m(u) = min(Γ(u)∪{u})
         sym = e.unionByName(
@@ -115,14 +119,28 @@ def _star_labels(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
+            # e1 feeds both the m2 aggregate and the small-star join:
+            # without materialization the large-star join subtree executes
+            # twice per round. Lazy checkpoint materializes during this
+            # round's signature action (the hashmin one-job pattern).
+            .localCheckpoint(eager=False)
         )
         # --- small-star: every node and its smaller neighbors link to the
-        # minimum of the (hi -> lo) neighborhood
+        # minimum of the (hi -> lo) neighborhood. Both output rows come
+        # from ONE pass over the join (explode of a 2-struct array) —
+        # the former two-select union ran the join in both branches.
         m2 = e1.groupBy("u").agg(F.min("v").alias("m"))
-        joined = e1.join(m2, "u")
         e = (
-            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(joined.select("u", F.col("m").alias("v")))
+            e1.join(m2, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                    )
+                ).alias("p")
+            )
+            .select("p.u", "p.v")
             .where(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint(eager=True)
@@ -140,7 +158,7 @@ def _star_labels(
         prev_sig = sig
     else:
         warnings.warn(
-            f"star contraction did not converge in {max_iterations} rounds; "
+            f"star contraction did not converge in {rounds} rounds; "
             "labels may be split. Raise max_iterations.",
             RuntimeWarning,
             stacklevel=3,
@@ -152,11 +170,8 @@ def _star_labels(
     labels = e.groupBy(F.col("u").alias(vertex_col)).agg(
         F.min("v").alias("cluster_id")
     )
-    centers = (
-        e.select(F.col("v").alias(vertex_col))
-        .distinct()
-        .join(labels.select(vertex_col), vertex_col, "left_anti")
-        .withColumn("cluster_id", F.col(vertex_col))
+    centers = _self_labeled_missing(
+        e.select(F.col("v").alias(vertex_col)), labels, vertex_col
     )
     return labels.unionByName(centers)
 
@@ -182,6 +197,11 @@ def connected_components(
     rounds). All three produce the identical labeling (cluster_id =
     component min; tested). ``stats`` (optional dict) receives
     ``{"strategy": ..., "rounds": ...}`` for diagnostics."""
+    if algorithm not in ("star", "hashmin"):
+        # validate BEFORE the size gate: a typo'd algorithm used to pass
+        # silently whenever the driver path was taken, first exploding at
+        # production scale
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     spark = edges.sparkSession
     # limit(n+1).count() stops scanning once the gate is decided — it never
     # pays for a full count of a web-scale edge set
@@ -201,40 +221,31 @@ def connected_components(
             schema=f"{vertex_col} {vtype.simpleString()}, cluster_id {vtype.simpleString()}",
         )
         if all_vertices is not None:
-            singles = (
-                all_vertices.select(vertex_col)
-                .join(labels.select(vertex_col), vertex_col, "left_anti")
-                .withColumn("cluster_id", F.col(vertex_col))
+            labels = labels.unionByName(
+                _self_labeled_missing(all_vertices, labels, vertex_col)
             )
-            labels = labels.unionByName(singles)
         if stats is not None:
             stats["strategy"] = "driver_union_find"
+            stats["rounds"] = 0  # single driver pass — keep the contract
         return labels
 
     if algorithm == "star":
         labels = _star_labels(edges, vertex_col, max_iterations, stats)
         # a vertex appearing ONLY in self-loop edges never enters the
         # contraction (u != v filter) but must still label itself
-        loops = (
-            edges.where(F.col("doc_a") == F.col("doc_b"))
-            .select(F.col("doc_a").alias(vertex_col))
-            .distinct()
-            .join(labels.select(vertex_col), vertex_col, "left_anti")
-            .withColumn("cluster_id", F.col(vertex_col))
+        loops = edges.where(F.col("doc_a") == F.col("doc_b")).select(
+            F.col("doc_a").alias(vertex_col)
         )
-        labels = labels.unionByName(loops)
+        labels = labels.unionByName(
+            _self_labeled_missing(loops, labels, vertex_col)
+        )
         if stats is not None:
             stats["strategy"] = "star"
         if all_vertices is not None:
-            singles = (
-                all_vertices.select(vertex_col)
-                .join(labels.select(vertex_col), vertex_col, "left_anti")
-                .withColumn("cluster_id", F.col(vertex_col))
+            labels = labels.unionByName(
+                _self_labeled_missing(all_vertices, labels, vertex_col)
             )
-            labels = labels.unionByName(singles)
         return labels
-    if algorithm != "hashmin":
-        raise ValueError(f"unknown algorithm: {algorithm!r}")
     if stats is not None:
         stats["strategy"] = "hashmin"
 
@@ -252,7 +263,11 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    changed = 0
+    # -1 sentinel: "convergence never confirmed". With max_iterations<=0
+    # the loop body never runs and the old 0 initial skipped the
+    # non-convergence warning — self-labels (zero merged clusters) were
+    # returned silently.
+    changed = -1
     hm_rounds = 0
     for _ in range(max_iterations):
         hm_rounds += 1
@@ -288,18 +303,31 @@ def connected_components(
         # silently split into several labels — surface it loudly
         warnings.warn(
             f"connected_components did not converge in {max_iterations} "
-            f"iterations ({changed} labels still changing); cluster labels "
-            "may be split. Raise max_iterations.",
+            f"iterations ({changed} labels still changing at the last "
+            "check); cluster labels may be split. Raise max_iterations.",
             RuntimeWarning,
             stacklevel=2,
         )
 
     if all_vertices is not None:
-        singles = all_vertices.select(vertex_col).join(
-            labels.select(vertex_col), vertex_col, "left_anti"
-        ).withColumn("cluster_id", F.col(vertex_col))
-        labels = labels.unionByName(singles)
+        labels = labels.unionByName(
+            _self_labeled_missing(all_vertices, labels, vertex_col)
+        )
     return labels
+
+
+def _self_labeled_missing(
+    vertices: DataFrame, labels: DataFrame, vertex_col: str
+) -> DataFrame:
+    """Vertices absent from ``labels``, self-labeled as singleton
+    clusters — the shared anti-join tail of every strategy (this block
+    used to be copy-pasted four times)."""
+    return (
+        vertices.select(vertex_col)
+        .distinct()
+        .join(labels.select(vertex_col), vertex_col, "left_anti")
+        .withColumn("cluster_id", F.col(vertex_col))
+    )
 
 
 def cluster_stats(clusters: DataFrame) -> DataFrame:

@@ -390,3 +390,58 @@ def test_cc_strategies_match_union_find_oracle(spark, edges_py):
             ).collect()
         }
         assert got == expect, algo
+
+
+def test_cc_algorithm_validated_before_size_gate(spark):
+    """Round-5 review: a typo'd algorithm used to pass silently whenever
+    the small-graph driver path was taken."""
+    edges = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(edges, algorithm="staar")
+
+
+def test_cc_zero_iterations_warns_not_silently_splits(spark):
+    """Round-5 review: hashmin with max_iterations<=0 returned every
+    vertex as its own singleton with NO warning (changed stayed 0)."""
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(
+            edges, driver_max_edges=0, algorithm="hashmin", max_iterations=0
+        ).collect()
+
+
+def test_cc_stats_contract_on_driver_path(spark):
+    """stats receives BOTH strategy and rounds on every path."""
+    edges = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    stats: dict = {}
+    connected_components(edges, stats=stats).collect()
+    assert stats == {"strategy": "driver_union_find", "rounds": 0}
+
+
+def test_cc_star_converging_at_budget_does_not_warn(spark):
+    """Round-5 review: a graph whose contraction stabilizes exactly at
+    round max_iterations used to warn spuriously — the fixed point is
+    only observable one round later, so the loop runs a +1 detection
+    round. A simple path graph converges in very few star rounds; with
+    a just-enough budget there must be NO RuntimeWarning."""
+    import warnings as w
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    # find the exact convergence round first
+    stats: dict = {}
+    out = connected_components(
+        edges, driver_max_edges=0, algorithm="star", stats=stats
+    )
+    assert {r.cluster_id for r in out.collect()} == {0}
+    converge_rounds = stats["rounds"] - 1  # minus the detection round
+    with w.catch_warnings():
+        w.simplefilter("error", RuntimeWarning)
+        out2 = connected_components(
+            edges,
+            driver_max_edges=0,
+            algorithm="star",
+            max_iterations=converge_rounds,
+        )
+        assert {r.cluster_id for r in out2.collect()} == {0}
