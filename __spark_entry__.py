@@ -863,7 +863,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash,
                    count(*)::BIGINT AS n_docs,
                    min(doc_id)::BIGINT AS keep_doc_id
-            FROM docs2 GROUP BY md5(text) HAVING count(*) > 1
+            FROM docs2 WHERE text IS NOT NULL
+            GROUP BY md5(text) HAVING count(*) > 1
         """,
         "exact_dup_pairs": f"""
             WITH {_DUPED_DOCS_SQL}

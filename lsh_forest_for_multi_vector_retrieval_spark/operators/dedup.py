@@ -57,7 +57,7 @@ class DedupResult:
 
     def unpersist(self) -> None:
         """Release the tables ``minhash_dedup(persist_intermediates=True)``
-        cached (signatures + verified). Call when done with the result —
+        cached (signatures + candidates + verified). Call when done with the result —
         repeated pipeline runs in one session otherwise accumulate cached
         tables (executor-memory pressure; see round-2 VERDICT). Blocking:
         an async unpersist can race stages still reading the cache and
@@ -97,14 +97,23 @@ def minhash_dedup(
             "band_id", "band_hash", "doc_id"
         )
     else:
-        bands = band_table(sigs, cfg)
+        # same column order as the adaptive branch (and the DedupResult
+        # comment): a consumer unioning bands across configs by position
+        # must not get doc_id bound to band_id
+        bands = band_table(sigs, cfg).select("band_id", "band_hash", "doc_id")
     cands = candidate_pairs(bands, cfg)
     if persist_intermediates:
         # the verify prune traverses cands twice (distinct candidate ids
         # for the signature semi-join + the pair join itself) — cache the
         # tiny pair table instead of re-running the bucket shuffle
         cands = cands.persist()
-    verified = verify_pairs(cands, sigs, cfg)
+    else:
+        # verify would otherwise eager-checkpoint an INTERNAL copy the
+        # caller can't see, leaving DedupResult.candidates an
+        # unmaterialized plan that re-runs the whole band/bucket chain on
+        # first use — materialize here (same cost) so the copy is shared
+        cands = cands.localCheckpoint(eager=True)
+    verified = verify_pairs(cands, sigs, cfg, materialize_pairs=False)
     if persist_intermediates:
         # verified is read >=3 times downstream (the CC size-gate count,
         # the gate collect / first CC iteration, and whatever the caller
@@ -125,9 +134,14 @@ def exact_dedup_groups(
     """Exact duplicates by content hash: (text_hash, n_docs, keep_doc_id).
 
     md5 (not xxhash) so a DuckDB oracle can reproduce values bit-for-bit.
+    NULL texts are excluded: md5(NULL) is NULL and groupBy treats NULL as
+    a key, so a corpus of NULL-text docs would form one bogus "exact
+    duplicate" group (and diverge from exact_dup_pairs, whose NULL join
+    keys never match).
     """
     return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        docs.where(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("text_hash"))
         .agg(
             F.count("*").alias("n_docs"),
             F.min(F.col(id_col)).alias("keep_doc_id"),
@@ -159,9 +173,12 @@ def simhash_dedup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on rotated 16-bit chunks of the 64-bit
-    fingerprint (any pair within Hamming<=3 shares at least one of the 4
-    chunks exactly — pigeonhole), then verify Hamming exactly with
+    """SimHash near-dup pairs: block on ``max_hamming + 1`` disjoint
+    right-shifted chunks of the 64-bit fingerprint, each
+    ``64 // (max_hamming+1)`` bits wide (any pair within the Hamming
+    budget shares at least one chunk exactly — pigeonhole; bits past
+    ``n_chunks * width`` are uncovered, which only widens blocks and so
+    only ADDS candidates), then verify Hamming exactly with
     ``bit_count`` JVM-side. Returns (doc_a, doc_b, hamming)."""
     # the chunk self-join reads both sides from the signature table — an
     # unmaterialized plan would re-run the signature UDFs once per side.
@@ -186,11 +203,12 @@ def simhash_dedup_pairs(
     )
     n_chunks = max_hamming + 1  # pigeonhole blocks
     width = 64 // n_chunks
+    # width == 64 (max_hamming=0, "exact simhash only"): (1<<64)-1
+    # overflows LongType — the all-ones mask IS -1 in two's complement
+    mask = F.lit(-1 if width == 64 else (1 << width) - 1)
     chunks = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), c * width).bitwiseAND(
-                F.lit((1 << width) - 1)
-            )
+            F.shiftrightunsigned(F.col("simhash"), c * width).bitwiseAND(mask)
             for c in range(n_chunks)
         ]
     )
@@ -228,6 +246,7 @@ def ngram_jaccard_pairs_exact(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    lowercase: bool = True,
 ) -> DataFrame:
     """EXACT n-gram-Jaccard pair search — no LSH, no approximation, and
     **no unbounded posting-list join**: candidate generation uses the
@@ -251,7 +270,10 @@ def ngram_jaccard_pairs_exact(
     lsh_forest.ipynb cell 1; utils.py:540-542) made web-scale-safe.
 
     Uses shingle *strings* (not hashes) so a DuckDB SQL oracle reproduces
-    it exactly. Returns (doc_a, doc_b, jaccard).
+    it exactly. ``lowercase`` must match the engine config when this is
+    used as minhash_dedup's recall oracle (DedupConfig.lowercase) — a
+    case-folding oracle against a case-sensitive engine reports phantom
+    recall regressions. Returns (doc_a, doc_b, jaccard).
     """
     from pyspark.sql import Window
 
@@ -261,10 +283,13 @@ def ngram_jaccard_pairs_exact(
 
     staged = with_shingle_strings(
         ensure_min_partitions(
-            docs.where(F.col(text_col).isNotNull() & (F.length(F.col(text_col)) > 0))
+            docs.where(
+                F.col(text_col).isNotNull() & (F.length(F.col(text_col)) > 0)
+            )
         ),
         text_col=text_col,
         k=k,
+        lowercase=lowercase,
     ).select(
         F.col(id_col).alias("doc_id"),
         "shingle_strs",

@@ -242,3 +242,58 @@ def test_pair_recall_report_empty_truth_is_one(spark):
     pred = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
     row = pair_recall_report(pred, truth).collect()[0]
     assert (row.n_truth, row.n_found, row.n_hit, row.recall) == (0, 1, 0, 1.0)
+
+
+def test_exact_dedup_groups_ignores_null_text(spark):
+    """Round-5 review: md5(NULL) is NULL and groupBy keeps NULL keys, so
+    NULL-text docs used to form one bogus 'exact duplicate' group (and
+    exact_dup_pairs disagreed — NULL join keys never match)."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.dedup import (
+        exact_dedup_groups,
+        exact_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (4, "same"), (5, "same")],
+        "doc_id long, text string",
+    )
+    groups = exact_dedup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0].n_docs == 2
+    pairs = {(r.doc_a, r.doc_b) for r in exact_dup_pairs(docs).collect()}
+    assert pairs == {(4, 5)}  # the two operators agree on NULL handling
+
+
+def test_simhash_max_hamming_zero(spark):
+    """Round-5 review: max_hamming=0 (exact-simhash-only blocking) used
+    to crash at plan build — (1<<64)-1 overflows LongType."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.dedup import (
+        simhash_dedup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog today"),
+         (3, "completely different text about gardening and cooking")],
+        "doc_id long, text string",
+    )
+    got = simhash_dedup_pairs(docs, max_hamming=0).collect()
+    assert {(r.doc_a, r.doc_b, r.hamming) for r in got} == {(1, 2, 0)}
+
+
+def test_ngram_exact_lowercase_knob_matches_engine(spark):
+    """Round-5 review: the recall oracle always case-folded; with
+    lowercase=False it must shingle case-sensitively like the engine."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.dedup import (
+        ngram_jaccard_pairs_exact,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base.upper())], "doc_id long, text string"
+    )
+    folded = ngram_jaccard_pairs_exact(docs, threshold=0.9, k=3)
+    assert folded.count() == 1  # case-folded: identical
+    sensitive = ngram_jaccard_pairs_exact(
+        docs, threshold=0.9, k=3, lowercase=False
+    )
+    assert sensitive.count() == 0  # case-sensitive: disjoint shingles
