@@ -68,19 +68,44 @@ def hyperplane_simhash_udf(dim: int, bits: int = 64, seed: int = 42) -> Column:
     (reference draws per-closure, lsh_family.py:30-36; we draw the whole
     matrix up front — same distribution, executor-deterministic).
     """
+    if not 1 <= bits <= 64:
+        # the signature is packed into ONE 64-bit word; numpy uint64
+        # left-shift by >=64 is C-undefined (x86: shift mod 64), so
+        # bits>64 would silently alias high bits onto low ones and
+        # destroy the LSH property with no error. More bits = more
+        # independent tables (distinct seeds), not a wider word.
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     rng = np.random.RandomState(seed)
     w = rng.standard_normal((dim, bits))
     bit_idx = np.arange(bits, dtype=np.uint64)
 
     @pandas_udf(T.LongType())
     def _hp_simhash(vec_col: pd.Series) -> pd.Series:
-        if len(vec_col) == 0:
+        n = len(vec_col)
+        if n == 0:
             return pd.Series(np.empty(0, dtype=np.int64))
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vec_col])  # (n, dim)
-        proj = m @ w  # (n, bits)
-        words = ((proj >= 0).astype(np.uint64) << bit_idx[None, :]).sum(
-            axis=1, dtype=np.uint64
-        )
-        return pd.Series(words.view(np.int64))
+        # NULL / ragged / wrong-dim rows DEGRADE to a NULL signature
+        # (they drop out of chunk blocking downstream) instead of
+        # failing the whole Spark task via np.stack — same convention
+        # as vectors._stack_pair_batch and the fold cosine path.
+        good = np.ones(n, dtype=bool)
+        rows = []
+        for i, v in enumerate(vec_col):
+            a = None if v is None else np.asarray(v, dtype=np.float64)
+            if a is None or a.ndim != 1 or a.shape[0] != dim:
+                good[i] = False
+            else:
+                rows.append(a)
+        vals = np.zeros(n, dtype=np.int64)
+        if rows:
+            m = np.stack(rows)  # (n_good, dim)
+            proj = m @ w  # (n_good, bits)
+            words = ((proj >= 0).astype(np.uint64) << bit_idx[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            vals[good] = words.view(np.int64)
+        out = pd.Series(vals, dtype="Int64")
+        out[~good] = pd.NA
+        return out
 
     return _hp_simhash

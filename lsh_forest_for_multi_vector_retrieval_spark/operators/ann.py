@@ -29,6 +29,22 @@ from lsh_forest_for_multi_vector_retrieval_spark.functions.vectors import (
 )
 
 
+def _validate_chunking(bits: int, n_chunks: int) -> None:
+    """Blocking-parameter guard shared by the LSH operators: the word is
+    at most 64 bits (``hyperplane_simhash_udf`` enforces its own cap);
+    ``n_chunks`` must tile it exactly — ``n_chunks > bits`` gives a
+    zero-width chunk (div-by-zero), and ``bits % n_chunks != 0`` would
+    silently drop the top ``bits % n_chunks`` bits from blocking,
+    lowering recall below the documented 1-(1-p^r)^b formula."""
+    if not 1 <= n_chunks <= bits:
+        raise ValueError(f"n_chunks must be in [1, bits={bits}], got {n_chunks}")
+    if bits % n_chunks != 0:
+        raise ValueError(
+            f"n_chunks ({n_chunks}) must divide bits ({bits}) exactly; "
+            f"{bits % n_chunks} high bits would be silently excluded from blocking"
+        )
+
+
 def _cosine_fn(scoring: str):
     """Exact-rerank scorer: "fold" = bit-reproducible interpreted HOF
     Column fold (oracle path); "pandas" = Arrow-batched NumPy einsum
@@ -103,8 +119,11 @@ def lsh_topk(
     (16 blocks x 4 bits) measures 0.90 recall@10 on the 64-d fixture
     embeddings whose true top-10 average cosine is only 0.30 — far above
     the reference's own recursive-forest 0.21-0.38 Recall@100
-    (BASELINE.md). At larger corpus scale raise ``bits`` (e.g. 128) and
-    keep r=bits/n_chunks at 6-8 so block sizes stay sublinear.
+    (BASELINE.md). ``bits`` is capped at 64 (one packed word); at larger
+    corpus scale keep r=bits/n_chunks at 6-8 by LOWERING ``n_chunks``
+    (e.g. bits=64, n_chunks=8 -> r=8) so block sizes stay sublinear, and
+    recover recall with multiple independent tables (distinct ``seed``s,
+    union the candidates) rather than a wider word.
 
     ``ensure_k``: the reference's ASCEND phase (query_rec walks up parents
     collecting candidates until max_candidates, /root/reference/src/
@@ -116,6 +135,7 @@ def lsh_topk(
     are few. Guarantees min(k, |corpus| - 1) rows per query.
     """
     cosine = _cosine_fn(scoring)
+    _validate_chunking(bits, n_chunks)
     hp = hyperplane_simhash_udf(dim=dim, bits=bits, seed=seed)
     qsig = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
@@ -154,6 +174,11 @@ def lsh_topk(
     width = bits // n_chunks
     cand = block_join(qsig, width)
     if ensure_k:
+        # the candidate table feeds BOTH an unsaturated() aggregation and
+        # the final union: without materialization the exploded block
+        # join + dedup shuffle (the dominant cost) is re-executed up to
+        # three times across those consumers
+        cand = cand.localCheckpoint(eager=True)
 
         def unsaturated(c: DataFrame) -> DataFrame:
             sat = (
@@ -167,7 +192,11 @@ def lsh_topk(
         if width > 1:
             # ascend one level: parent prefix = half-width chunks
             deeper = block_join(unsaturated(cand), max(width // 2, 1))
-            cand = cand.unionByName(deeper).dropDuplicates(["q_id", "n_id"])
+            cand = (
+                cand.unionByName(deeper)
+                .dropDuplicates(["q_id", "n_id"])
+                .localCheckpoint(eager=True)
+            )
         # root fallback: exact scan for the (few) still-short queries
         root = (
             F.broadcast(unsaturated(cand).select("q_id", "q_vec"))
@@ -231,13 +260,21 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scoring: str = "fold",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup-pipeline flavor of
     ANN): LSH-block, exact-cosine verify, threshold. (doc_a, doc_b, cosine).
 
     ``scoring="pandas"`` switches the verify cosine to the Arrow einsum
-    path (see ``_cosine_fn``)."""
+    path (see ``_cosine_fn``).
+
+    ``round_digits``: threshold the ROUNDED cosine, matching
+    ``brute_force_near_dup_pairs`` (whose default is 6) — pass the same
+    value to both when comparing against the brute oracle, or a pair
+    whose raw cosine sits just under ``min_cosine`` but rounds up to it
+    counts as a false miss no blocking tuning can fix."""
     cosine = _cosine_fn(scoring)
+    _validate_chunking(bits, n_chunks)
     hp = hyperplane_simhash_udf(dim=dim, bits=bits, seed=seed)
     width = bits // n_chunks
     mask = (1 << width) - 1
@@ -264,13 +301,14 @@ def embedding_near_dup_pairs(
     b = blocks.select(
         "chunk_id", "chunk_val", F.col("vid").alias("doc_b"), F.col("vec").alias("vec_b")
     )
+    cos = cosine(F.col("vec_a"), F.col("vec_b"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
     return (
         a.join(b, ["chunk_id", "chunk_val"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
-        .select(
-            "doc_a", "doc_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine")
-        )
+        .select("doc_a", "doc_b", cos.alias("cosine"))
         .where(F.col("cosine") >= min_cosine)
     )
 

@@ -99,9 +99,13 @@ def chamfer_distance(
     if quantize_digits is None:
         return per_vec.groupBy("doc_id").agg(F.avg("min_d").alias("chamfer_dist"))
     scale = float(10**quantize_digits)
+    # F.count("min_d") (not count(1)): a degenerate a-vector whose every
+    # distance folds to NULL yields a NULL min_d; F.avg on the unquantized
+    # path excludes it, so the quantized mean must too or the two modes
+    # diverge structurally on NULL-bearing docs
     return per_vec.groupBy("doc_id").agg(
         F.round(
-            F.sum("min_d").cast("double") / F.count(F.lit(1)) / F.lit(scale),
+            F.sum("min_d").cast("double") / F.count("min_d") / F.lit(scale),
             quantize_digits,
         ).alias("chamfer_dist")
     )

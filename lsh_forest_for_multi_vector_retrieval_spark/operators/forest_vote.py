@@ -38,8 +38,25 @@ def prefix_table(
     """Per-depth trie-node table: (doc_id, band_id, depth, prefix_hash)
     for every depth 1..max_depth of every band — the materialized form of
     "every node on the doc's root-to-leaf path" (forest_vote.py:236-288).
+
+    ``max_depth`` is clamped to ``[0, cfg.rows_per_band]``: a depth
+    beyond the band width would make ``F.slice`` silently read rows
+    belonging to the NEXT band (Spark slice does not error), creating
+    cross-band trie nodes that correspond to no tree in the reference
+    model; 0 returns the (valid, empty) zero-depth table.
     """
-    r = max_depth or cfg.rows_per_band
+    r = cfg.rows_per_band if max_depth is None else max_depth
+    if not 0 <= r <= cfg.rows_per_band:
+        raise ValueError(
+            f"max_depth must be in [0, rows_per_band={cfg.rows_per_band}], got {r}"
+        )
+    if r == 0:
+        return sigs.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(0).cast("int").alias("band_id"),
+            F.lit(0).cast("int").alias("depth"),
+            F.lit(0).cast("bigint").alias("prefix_hash"),
+        ).where(F.lit(False))
     entries = F.flatten(
         F.transform(
             F.sequence(F.lit(0), F.lit(cfg.num_bands - 1)),
@@ -104,7 +121,12 @@ def forest_vote_scores(
     changes top-k negligibly (pytest-gated <1% on the planted fixture).
     ``None`` disables the cap (exact reference semantics).
     """
-    corpus_pref = prefix_table(corpus_sigs, cfg)
+    # materialize the corpus explosion (bands x depth row multiplication,
+    # the most expensive stage): it feeds BOTH the node_pop aggregation
+    # and the join probe side, and an unmaterialized plan would run the
+    # explode twice — the repo's established eager-localCheckpoint
+    # pattern (ann.embedding_near_dup_pairs, dedup.simhash_dedup_pairs)
+    corpus_pref = prefix_table(corpus_sigs, cfg).localCheckpoint(eager=True)
     query_pref = prefix_table(query_sigs, cfg).withColumnRenamed(
         "doc_id", "query_id"
     )

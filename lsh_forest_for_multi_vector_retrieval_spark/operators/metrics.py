@@ -126,14 +126,20 @@ def mrr_at_k(
     query_col: str = "q_id",
     item_col: str = "n_id",
 ) -> float:
-    """MRR@k over a qrels-style relevance table (plaid.ipynb cell 10)."""
+    """MRR@k over a qrels-style relevance table (plaid.ipynb cell 10).
+
+    The denominator is the set of JUDGED queries (distinct queries in
+    ``relevant``, trec_eval semantics): a query for which retrieval
+    returned zero rows still counts (reciprocal rank 0), so an
+    ``ensure_k=False`` run that drops sparse-region queries cannot
+    inflate its MRR; a predicted query with no qrels is excluded."""
     first_rel = (
         predicted_ranks.where(F.col("rank") <= k)
         .join(relevant, [query_col, item_col], "left_semi")
         .groupBy(query_col)
         .agg(F.min("rank").alias("first_rank"))
     )
-    n_q = predicted_ranks.select(query_col).distinct().count()
+    n_q = relevant.select(query_col).distinct().count()
     if n_q == 0:
         return 0.0
     s = first_rel.agg(F.sum(1.0 / F.col("first_rank"))).first()[0] or 0.0
@@ -143,5 +149,23 @@ def mrr_at_k(
 def score_correlation(
     scores: DataFrame, col_a: str, col_b: str
 ) -> float:
-    """Pearson r between two score columns (test_forest_vote.py:262-279)."""
-    return scores.agg(F.corr(col_a, col_b)).first()[0]
+    """Pearson r between two score columns (test_forest_vote.py:262-279).
+
+    Undefined correlations (constant column, <2 rows, all-null pairs)
+    return 0.0 instead of None so callers can do arithmetic on the
+    result — the same degenerate-input convention as ``mrr_at_k``."""
+    import math
+
+    # r = cov/(sd_a*sd_b), assembled driver-side: under ANSI mode
+    # (Spark 4 default) F.corr on a zero-variance column raises
+    # DIVIDE_BY_ZERO instead of returning NaN, so the division must not
+    # happen in the JVM. One aggregation job either way.
+    row = scores.agg(
+        F.covar_samp(col_a, col_b).alias("cov"),
+        F.var_samp(col_a).alias("va"),
+        F.var_samp(col_b).alias("vb"),
+    ).first()
+    if row.cov is None or not row.va or not row.vb or row.va < 0 or row.vb < 0:
+        return 0.0
+    r = row.cov / math.sqrt(row.va * row.vb)
+    return 0.0 if math.isnan(r) else float(r)

@@ -90,6 +90,13 @@ def train_codebook(
             init.append(row)
             if len(init) == k:
                 break
+    if not init:
+        # np.stack([]) would raise a cryptic "need at least one array to
+        # stack" deep inside Lloyd — same explicit guard as
+        # centroid_index's "centroids table is empty"
+        raise ValueError(
+            "codebook sample is empty — the input vectors DataFrame has no rows"
+        )
     cents = np.stack(init)  # k_eff x d; k_eff < k only on tiny inputs
     for _ in range(iters):
         d2 = np.empty((len(sample), len(cents)), dtype=np.float64)

@@ -594,3 +594,143 @@ def test_pandas_centroid_assignment_degrades_like_fold(spark):
     for r in got:
         assert r.pd_cell == r.fold_cell, r
     assert [r.pd_cell for r in got] == [1, 0, 0, 0, 0]
+
+
+def test_hyperplane_udf_degrades_on_bad_rows(spark):
+    """Round-5 review: a NULL / ragged / wrong-dim embedding must yield a
+    NULL signature (dropping the row from chunk blocking) instead of
+    crashing the whole task via np.stack — the same degrade-not-crash
+    convention as vectors._stack_pair_batch. Clean rows must be
+    bit-identical to the documented matmul construction."""
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.simhash import (
+        hyperplane_simhash_udf,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(6)]
+    rows += [(100, None), (101, [1.0, 2.0]), (102, [])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    hp = hyperplane_simhash_udf(dim=8, bits=64, seed=42)
+    sigs = {r.vec_id: r.sig for r in df.select("vec_id", hp("embedding").alias("sig")).collect()}
+    assert sigs[100] is None and sigs[101] is None and sigs[102] is None
+    # clean-row parity with the straight NumPy construction (fixture safety)
+    w = np.random.RandomState(42).standard_normal((8, 64))
+    m = np.stack([r[1] for r in rows[:6]])
+    words = (
+        ((m @ w >= 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :])
+        .sum(axis=1, dtype=np.uint64)
+        .view(np.int64)
+    )
+    assert [sigs[i] for i in range(6)] == list(words)
+    # dirty corpus end-to-end: ensure_k still returns k rows per clean query
+    clean = df.where(F.col("vec_id") < 100)
+    res = lsh_topk(df, clean, k=3, dim=8, ensure_k=True, round_digits=6)
+    cnt = {r.q_id: r["count"] for r in res.groupBy("q_id").count().collect()}
+    assert all(v == 3 for v in cnt.values()), cnt
+
+
+def test_lsh_blocking_parameter_validation(spark):
+    """Round-5 review: bits>64 would silently alias signature bits
+    (uint64 shift wraps mod 64) and n_chunks that don't tile the word
+    would divide-by-zero or silently exclude bits from blocking."""
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.simhash import (
+        hyperplane_simhash_udf,
+    )
+
+    df = spark.createDataFrame([(0, [1.0] * 8)], "vec_id long, embedding array<double>")
+    for bad_bits in (0, 65, 128):
+        with pytest.raises(ValueError):
+            hyperplane_simhash_udf(dim=8, bits=bad_bits)
+    with pytest.raises(ValueError):
+        lsh_topk(df, df, bits=64, n_chunks=128)  # zero-width chunk
+    with pytest.raises(ValueError):
+        lsh_topk(df, df, bits=64, n_chunks=7)  # non-tiling
+    with pytest.raises(ValueError):
+        embedding_near_dup_pairs(df, n_chunks=96)
+
+
+def test_embedding_near_dup_round_digits_matches_brute_boundary(spark, embeddings):
+    """Round-5 review: the LSH near-dup operator must offer the same
+    rounded-threshold semantics as its brute oracle twin, or pairs whose
+    raw cosine rounds UP to the threshold count as false misses."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.ann import (
+        brute_force_near_dup_pairs,
+    )
+
+    vecs = embeddings.limit(60)
+    # n_chunks=64 -> width 1: every pair shares a block, so the LSH set
+    # must EQUAL the brute set under identical rounding
+    brute = brute_force_near_dup_pairs(vecs, min_cosine=0.2, round_digits=6)
+    lsh = embedding_near_dup_pairs(vecs, min_cosine=0.2, n_chunks=64, round_digits=6)
+    bs = {(r.doc_a, r.doc_b) for r in brute.collect()}
+    ls = {(r.doc_a, r.doc_b) for r in lsh.collect()}
+    assert ls == bs and len(bs) > 0
+
+
+def test_prefix_table_max_depth_bounds(spark):
+    """Round-5 review: max_depth=0 must mean 'zero-depth table' (not
+    silently full depth via a falsy-or), and a depth beyond rows_per_band
+    must raise instead of slicing prefix hashes across band boundaries."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.forest_vote import (
+        prefix_table,
+    )
+
+    cfg = DedupConfig()
+    sigs = spark.createDataFrame(
+        [(i, list(range(cfg.num_bands * cfg.rows_per_band))) for i in range(3)],
+        "doc_id long, sig array<long>",
+    )
+    assert prefix_table(sigs, cfg, max_depth=0).count() == 0
+    assert prefix_table(sigs, cfg, max_depth=1).count() == 3 * cfg.num_bands
+    with pytest.raises(ValueError):
+        prefix_table(sigs, cfg, max_depth=cfg.rows_per_band + 1)
+    with pytest.raises(ValueError):
+        prefix_table(sigs, cfg, max_depth=-1)
+
+
+def test_chamfer_distance_quantized_null_parity(spark):
+    """Round-5 review: a NULL a-vector folds every distance to NULL; the
+    quantized mean must exclude it (count of non-null min_d) exactly as
+    the unquantized F.avg does, or the two modes diverge structurally."""
+    a = spark.createDataFrame(
+        [("d", [1.0, 0.0]), ("d", [0.0, 1.0]), ("d", None)],
+        "doc_id string, embedding array<double>",
+    )
+    b = spark.createDataFrame([([1.0, 0.0],)], "embedding array<double>")
+    uq = chamfer_distance(a, b).first().chamfer_dist
+    q = chamfer_distance(a, b, quantize_digits=6).first().chamfer_dist
+    assert q == pytest.approx(uq, abs=1e-6)
+
+
+def test_mrr_counts_zero_result_queries(spark):
+    """Round-5 review: a judged query for which retrieval returned ZERO
+    rows must count in the MRR denominator (reciprocal rank 0), so an
+    ensure_k=False run cannot inflate its MRR by dropping hard queries."""
+    ranks = spark.createDataFrame(
+        [("q1", 10, 1)], "q_id string, n_id long, rank int"
+    )
+    rel = spark.createDataFrame(
+        [("q1", 10), ("q2", 20)], "q_id string, n_id long"
+    )
+    # q1 hits at rank 1; q2 has no predictions at all -> MRR = (1+0)/2
+    assert mrr_at_k(ranks, rel, k=10) == pytest.approx(0.5)
+
+
+def test_score_correlation_degenerate_returns_zero(spark):
+    """Round-5 review: an undefined Pearson r (constant column) returns
+    0.0 — not None — so callers can do arithmetic on the result."""
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 2.0), (3.0, 2.0)], "a double, b double"
+    )
+    assert score_correlation(df, "a", "b") == 0.0
+
+
+def test_train_codebook_empty_sample_raises():
+    """Round-5 review: an empty sample raises a clear ValueError instead
+    of np.stack's cryptic 'need at least one array to stack'."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.plaid import (
+        train_codebook,
+    )
+
+    with pytest.raises(ValueError, match="empty"):
+        train_codebook([], k=4)

@@ -177,8 +177,15 @@ def test_plaid_ranks_planted_doc_first(doc_vectors, query_vectors, centroids):
     assert mrr >= 0.95, mrr
     # centroid-only scoring (no exact re-rank) is the quantized
     # approximation — it may confuse docs sharing centroids, but must
-    # still get most planted queries right
-    coarse = plaid_topk(doc_vectors, query_vectors, centroids, k=10, nprobe=4)
+    # still get most planted queries right. round_digits=6 is required
+    # for a strict gate: docs whose tokens map to the SAME centroid set
+    # have exactly-equal coarse scores, and without rounding the float
+    # sum's reduce order (partitioning-dependent) resolves the tie —
+    # observed 5-7 hits across repartitions; rounded ties break by
+    # doc_id and the count is stable at 7.
+    coarse = plaid_topk(
+        doc_vectors, query_vectors, centroids, k=10, nprobe=4, round_digits=6
+    )
     ctop1 = {r.query_id: r.doc_id for r in coarse.where(F.col("rank") == 1).collect()}
     assert sum(1 for q, d in ctop1.items() if q == d) >= 6, ctop1
 
