@@ -96,8 +96,14 @@ class DedupConfig:
     # that band (round-2/3 VERDICT nit); ``signature_len`` now extends the
     # signature so the default adaptive path never wraps. Ignored when
     # use_adaptive_bands is False (no extra MinHash cost on the default
-    # fixed-depth path).
-    adaptive_reserved_rows: int = 32
+    # fixed-depth path). Must be >= num_bands * adaptive_max_extra_rows
+    # (default 16*4 = 64) so every band draws DISJOINT reserved positions
+    # — with fewer, bands b and b + reserved/max_extra would deepen with
+    # IDENTICAL permutation rows, correlating their keys and breaking the
+    # independent-trees recall math this reservation exists to protect
+    # (round-5 review; validated in __post_init__, 0 opts out into the
+    # documented wrap fallback).
+    adaptive_reserved_rows: int = 64
 
     # --- connected components ---
     cc_max_iterations: int = 50
@@ -117,6 +123,26 @@ class DedupConfig:
             raise ValueError(
                 f"num_bands*rows_per_band={self.num_bands * self.rows_per_band} "
                 f"exceeds num_perm={self.num_perm}"
+            )
+        if self.max_bucket_docs < 2:
+            # a 1-doc cap silently disables pair generation (and a capped
+            # 1-id array would feed the star generator a degenerate
+            # sequence) — round-5 review
+            raise ValueError(f"max_bucket_docs must be >= 2, got {self.max_bucket_docs}")
+        if self.bucket_pivots < 1:
+            # Spark sequence(1, 0) is the DESCENDING [1, 0]; a 0-pivot
+            # star would emit (NULL, doc) pairs — round-5 review
+            raise ValueError(f"bucket_pivots must be >= 1, got {self.bucket_pivots}")
+        need = self.num_bands * self.adaptive_max_extra_rows
+        if (
+            self.use_adaptive_bands
+            and 0 < self.adaptive_reserved_rows < need
+        ):
+            raise ValueError(
+                f"adaptive_reserved_rows={self.adaptive_reserved_rows} < "
+                f"num_bands*adaptive_max_extra_rows={need}: bands would deepen "
+                "with overlapping reserved permutation rows (correlated trees); "
+                f"raise it to {need}, or set 0 to opt into the wrap fallback"
             )
 
     @property

@@ -99,10 +99,18 @@ def adaptive_band_table(
     *neighboring band's base rows*, correlating the deepened key with that
     band's key and weakening tree independence; reserved rows are fresh
     permutations. Since round 4 the DEFAULT adaptive path reserves
-    ``cfg.adaptive_reserved_rows`` (32) fresh rows via
+    ``cfg.adaptive_reserved_rows`` (64 = num_bands * max_extra, so every
+    band's extras are disjoint) fresh rows via
     ``cfg.signature_len``, so the wrap fallback only triggers when a user
     explicitly zeroes the reservation (kept, documented as a
     weaker-independence trade).
+
+    Each round's surviving band table is eagerly localCheckpoint-ed:
+    round r's lineage otherwise chains r groupBys + joins back to
+    ``sigs``, and the per-round ``isEmpty()`` action plus the final
+    union would re-execute the whole chain from scratch — O(rounds^2)
+    shuffle recomputation, including re-running the MinHash UDF itself
+    when ``sigs`` arrives unpersisted (round-5 review).
     """
     base_rows = cfg.rows_per_band
     base_end = cfg.num_bands * base_rows
@@ -111,12 +119,10 @@ def adaptive_band_table(
     def bands_at_depth(extra: int) -> DataFrame:
         rows = base_rows + extra
         if extra == 0:
-            chosen = F.transform(
-                F.sequence(F.lit(0), F.lit(cfg.num_bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("sig"), b * base_rows + F.lit(1), base_rows)
-                ),
-            )
+            # the shared base-band kernel — NOT re-implemented here, so
+            # depth-0 adaptive buckets can never diverge from the
+            # fixed-depth band_table's (round-5 review)
+            chosen = band_hashes_col(F.col("sig"), cfg.num_bands, base_rows)
         elif reserved > 0:
             # band b's extra row j = reserved position
             # (b*max_extra + j) mod reserved — bands draw disjoint extras
@@ -145,19 +151,33 @@ def adaptive_band_table(
             )
         else:
             # no reserved rows: wrap into the neighboring band (documented
-            # independence trade; raise num_perm to avoid)
-            chosen = F.transform(
-                F.sequence(F.lit(0), F.lit(cfg.num_bands - 1)),
-                lambda b: F.xxhash64(
+            # independence trade; raise num_perm to avoid). The wrap is a
+            # TRUE modular walk per extra row — F.slice clamps at the
+            # array end instead of wrapping, so the old slice form gave
+            # end-of-signature bands FEWER extra rows and their hot
+            # buckets could never split further (round-5 review)
+            def wrap_key(b):
+                extras = F.array(
+                    *[
+                        F.get(
+                            F.col("sig"),
+                            F.pmod(
+                                b * base_rows + base_rows + F.lit(j),
+                                F.lit(cfg.num_perm),
+                            ),
+                        )
+                        for j in range(extra)
+                    ]
+                )
+                return F.xxhash64(
                     F.concat(
                         F.slice(F.col("sig"), b * base_rows + F.lit(1), base_rows),
-                        F.slice(
-                            F.col("sig"),
-                            (b * base_rows + base_rows) % cfg.num_perm + F.lit(1),
-                            extra,
-                        ),
+                        extras,
                     )
-                ),
+                )
+
+            chosen = F.transform(
+                F.sequence(F.lit(0), F.lit(cfg.num_bands - 1)), wrap_key
             )
         return sigs.where(F.size("shingles") > 0).select(
             F.col(id_col).alias("doc_id"),
@@ -165,7 +185,7 @@ def adaptive_band_table(
             F.lit(rows).alias("depth"),
         )
 
-    current = bands_at_depth(0)
+    current = bands_at_depth(0).localCheckpoint(eager=True)
     final_parts: list[DataFrame] = []
     for extra in range(1, cfg.adaptive_max_extra_rows + 1):
         sizes = current.groupBy("band_id", "band_hash").agg(
@@ -181,12 +201,13 @@ def adaptive_band_table(
             current = None
             break
         deeper = bands_at_depth(extra)
-        # only re-band the docs that live in overfull buckets of this band
+        # only re-band the docs that live in overfull buckets of this band;
+        # (band_id, doc_id) is already unique per depth — no distinct needed
         current = deeper.join(
-            overfull.select("band_id", F.col("doc_id")).distinct(),
+            overfull.select("band_id", "doc_id"),
             ["band_id", "doc_id"],
             "left_semi",
-        )
+        ).localCheckpoint(eager=True)
     if current is not None:
         final_parts.append(current)
     out = final_parts[0]

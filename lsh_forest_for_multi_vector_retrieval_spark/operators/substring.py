@@ -6,8 +6,17 @@ is the textbook construction; the equivalent-and-cheaper relational form
 used here is **winnowed rolling-hash fingerprints** (the MOSS/winnowing
 scheme, Schleimer-Wilkerson-Aiken 2003, public knowledge):
 
-* every length-``gram`` character window gets a 64-bit polynomial rolling
-  hash (one NumPy pass per Arrow batch — O(n) per doc);
+* every length-``gram`` window gets a 64-bit polynomial rolling hash
+  (one NumPy pass per Arrow batch — O(n) per doc). ``gram`` and
+  ``window`` are denominated in UTF-8 BYTES, not characters: hashing
+  runs over the encoded byte stream, so non-ASCII text gets
+  proportionally shorter character windows (~gram/2 Cyrillic, ~gram/3
+  CJK chars) — a systematically LOOSER match criterion than on English
+  text. Recall is unaffected (docs sharing a character substring always
+  share its byte windows); tune ``gram`` per expected script if
+  precision matters (round-5 review: documented, deliberately not
+  decoded to code points — byte semantics keep the kernel allocation-
+  free and the committed fixtures stable);
 * within every run of ``window`` consecutive hashes we keep the minimum
   (winnowing). Guarantee: two docs sharing any exact substring of length
   >= gram + window - 1 share at least one selected fingerprint;
@@ -127,13 +136,13 @@ def fingerprint_drop_stats(
     )
     kept = F.least(F.col("bucket_n"), F.lit(max_bucket_docs))
     non_starred = F.greatest(kept - F.lit(bucket_pivots), F.lit(0))
-    # least(pivots, cap) so a clique-truncate config (pivots > cap) still
-    # ledgers buckets that drop docs (round-4 ADVICE; mirrors
-    # pairs.bucket_drop_stats)
+    # filter on the computed drop columns (not a size threshold): a
+    # bucket of exactly bucket_pivots+1 docs is a complete clique through
+    # its pivots and drops nothing — mirrors pairs.bucket_drop_stats
+    # (round-5 review)
     return (
         inv.groupBy("fp")
         .agg(F.countDistinct("doc_id").alias("bucket_n"))
-        .where(F.col("bucket_n") > min(bucket_pivots, max_bucket_docs))
         .select(
             "fp",
             "bucket_n",
@@ -144,6 +153,7 @@ def fingerprint_drop_stats(
             .cast("long")
             .alias("starred_pairs_skipped"),
         )
+        .where((F.col("dropped_docs") > 0) | (F.col("starred_pairs_skipped") > 0))
     )
 
 
@@ -188,13 +198,33 @@ def substring_dup_pairs(
     # bounded by bucket/salt, not the whole bucket (hot-band skew salting)
     grouped = bucket_ids_capped(inv, ["fp"], max_bucket_docs)
     pair_structs = star_pair_structs(F.col("ids"), bucket_pivots)
+    # checkpoint: the candidate table feeds the id-prune AND both verify
+    # join sides (same shared-candidate pattern as dedup.minhash_dedup)
     cands = (
         grouped.select(F.explode(pair_structs).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # verification hashes ONLY candidate docs: without the semi-join
+    # prune, gram_hash_udf (a full rolling-hash pass over every text)
+    # would run over the ENTIRE corpus — twice, once per join side.
+    # Candidate docs are a small fraction of the corpus (dedup
+    # selectivity; same measured rationale as config.verify_prune_
+    # candidates, 60.8s -> ~4s at 320k docs), and the checkpoint makes
+    # the pruned gram table compute once for both sides (round-5 review).
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
     gh = gram_hash_udf(gram)
-    sets = docs.select(F.col(id_col).alias("doc_id"), gh(F.col(text_col)).alias("grams"))
+    sets = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        .join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", gh(F.col("__t")).alias("grams"))
+        .localCheckpoint(eager=True)
+    )
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
     return (

@@ -275,22 +275,87 @@ def test_default_adaptive_config_reserves_fresh_rows():
     fixed = DedupConfig()
     assert fixed.signature_len == fixed.num_perm == 128
     ad = DedupConfig(use_adaptive_bands=True)
-    assert ad.signature_len == 160  # 16*8 base + 32 reserved
+    # 16*8 base + 64 reserved (= num_bands*max_extra, so every band's
+    # extras are DISJOINT — round-5 review: the old 32 made bands b and
+    # b+8 deepen with identical permutation rows)
+    assert ad.signature_len == 192
     # explicit num_perm above base+reserved wins
-    big = DedupConfig(use_adaptive_bands=True, num_perm=192)
-    assert big.signature_len == 192
+    big = DedupConfig(use_adaptive_bands=True, num_perm=256)
+    assert big.signature_len == 256
+    # overlapping reservations are rejected outright; 0 opts into wrap
+    with pytest.raises(ValueError, match="overlapping"):
+        DedupConfig(use_adaptive_bands=True, adaptive_reserved_rows=32)
+    assert DedupConfig(use_adaptive_bands=True, adaptive_reserved_rows=0).signature_len == 128
+
+
+def test_config_rejects_degenerate_caps():
+    """Round-5 review: bucket_pivots=0 would make the star generator emit
+    (NULL, doc) pairs via Spark's descending sequence(1, 0); a 1-doc cap
+    silently disables pair generation."""
+    with pytest.raises(ValueError, match="bucket_pivots"):
+        DedupConfig(bucket_pivots=0)
+    with pytest.raises(ValueError, match="max_bucket_docs"):
+        DedupConfig(max_bucket_docs=1)
+
+
+def test_star_pair_structs_degenerate_inputs_yield_empty(spark):
+    """Round-5 review: 0/1-id arrays and a sub-1 pivot budget must yield
+    an EMPTY pair array, never (NULL, doc) rows."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.pairs import (
+        star_pair_structs,
+    )
+
+    df = spark.createDataFrame(
+        [([],), ([7],), ([1, 2],), ([1, 2, 3],)],
+        "ids array<long>",
+    )
+    for pivots in (0, 1, 64):
+        got = df.select(
+            F.col("ids"), star_pair_structs(F.col("ids"), pivots).alias("ps")
+        ).collect()
+        for r in got:
+            for p in r.ps:
+                assert p.doc_a is not None and p.doc_b is not None, (pivots, r)
+            if len(r.ids) <= 1 or pivots < 1:
+                assert r.ps == [], (pivots, r)
+    # full-clique sanity at pivots=64
+    row3 = df.where(F.size("ids") == 3).select(
+        star_pair_structs(F.col("ids"), 64).alias("ps")
+    ).first()
+    assert {(p.doc_a, p.doc_b) for p in row3.ps} == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_bucket_drop_stats_boundary_bucket_emits_no_row(spark):
+    """Round-5 review: a bucket of exactly bucket_pivots+1 docs is a
+    complete clique through its pivots (every pair includes a pivot) —
+    nothing dropped, nothing skipped, NO ledger row."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.pairs import (
+        bucket_drop_stats,
+    )
+
+    cfg = DedupConfig(bucket_pivots=4, max_bucket_docs=100)
+    rows = [(0, 7, d) for d in range(5)]  # pivots + 1 docs
+    bands = spark.createDataFrame(rows, "band_id int, band_hash long, doc_id long")
+    assert bucket_drop_stats(bands, cfg).collect() == []
+    # one more doc -> one genuinely skipped pair -> a row appears
+    bands6 = spark.createDataFrame(
+        rows + [(0, 7, 5)], "band_id int, band_hash long, doc_id long"
+    )
+    got = bucket_drop_stats(bands6, cfg).collect()
+    assert len(got) == 1 and got[0].starred_pairs_skipped == 1
+    assert got[0].dropped_docs == 0
 
 
 def test_default_adaptive_bands_deepen_with_reserved_rows(spark):
     """A mega-bucket corpus under the DEFAULT adaptive config must produce
-    deepened rows (depth > rows_per_band) from a 160-row signature."""
+    deepened rows (depth > rows_per_band) from a 192-row signature."""
     pages = generate_pages(
         spark, n_clusters=1, cluster_size=80, n_singletons=40,
         n_exact_dups=0, doc_len=150, max_mutation=0.01, seed=3,
     ).select("doc_id", "text")
     cfg = DedupConfig(use_adaptive_bands=True, adaptive_max_bucket=16)
     sigs = with_signatures(pages, cfg).select("doc_id", "shingles", "sig")
-    assert sigs.select(F.size("sig")).first()[0] == 160
+    assert sigs.select(F.size("sig")).first()[0] == 192
     tbl = adaptive_band_table(sigs, cfg)
     depths = {r.depth for r in tbl.select("depth").distinct().collect()}
     assert cfg.rows_per_band in depths
