@@ -1025,7 +1025,8 @@ def oracle_sql() -> dict[str, str]:
                    len(t)::BIGINT AS n_tokens,
                    length(text)::BIGINT AS n_chars,
                    CASE WHEN len(t) > 0
-                        THEN (length(text) - (len(t) - 1))::DOUBLE / len(t)::DOUBLE
+                        THEN list_sum(list_transform(t, x -> length(x)))::DOUBLE
+                             / len(t)::DOUBLE
                         ELSE 0.0 END AS mean_token_len
             FROM toks
         """,

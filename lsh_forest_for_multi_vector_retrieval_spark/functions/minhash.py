@@ -104,7 +104,11 @@ def minhash_udf(num_perm: int = 128, seed: int = 42) -> Column:
         empty_sig = np.full(num_perm, EMPTY_SIG_FILL, dtype=np.int64)
         out: list[np.ndarray] = []
         for x in shingle_col:
-            if len(x) == 0:
+            # NULL shingle array (external/joined tables — with_shingles
+            # itself coalesces NULL text to []) degrades to the empty-doc
+            # sentinel instead of len(None) killing the task; same
+            # convention as hyperplane_simhash_udf (round-5 review)
+            if x is None or len(x) == 0:
                 out.append(empty_sig)
                 continue
             s = np.asarray(x, dtype=np.int64).view(np.uint64)

@@ -72,7 +72,17 @@ def decode_image(payload: bytes, meta) -> np.ndarray:
     codec = meta["codec"]
     if codec == "rawrgb":
         f = int(meta["n_frames"] or 1)
-        h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])
+        h, w, c = meta["height"], meta["width"], meta["channels"]
+        # fail fast with a diagnosable message: the meta fields are
+        # nullable in MEDIA_META_TYPE, and int(None) / a zero dimension
+        # would otherwise surface as an opaque TypeError / IndexError
+        # deep inside the pixel kernels (round-5 review)
+        if any(v is None or int(v) <= 0 for v in (h, w, c)) or f <= 0:
+            raise ValueError(
+                f"rawrgb meta needs positive height/width/channels/n_frames, "
+                f"got {f}x{h}x{w}x{c}"
+            )
+        h, w, c = int(h), int(w), int(c)
         arr = np.frombuffer(payload, dtype=np.uint8)
         if arr.size != f * h * w * c:
             raise ValueError(
@@ -128,16 +138,24 @@ def to_grayscale(frame: np.ndarray) -> np.ndarray:
 
 
 def average_hash(frame: np.ndarray, hash_side: int = 8) -> int:
-    """Perceptual average-hash: resize to 8x8 (nearest) -> grayscale ->
-    threshold at the mean -> pack 64 bits (row-major, MSB first) into a
-    signed int64. (Resize-then-luma, matching the code below — the two
-    orders produce different hashes; ADVICE round-2.)
+    """Perceptual average-hash: resize to hash_side x hash_side (nearest)
+    -> grayscale -> threshold at the mean -> pack hash_side^2 bits
+    (row-major, MSB first) into a signed int64. (Resize-then-luma,
+    matching the code below — the two orders produce different hashes;
+    ADVICE round-2.) ``hash_side`` is capped at 8 (64 bits — one packed
+    word; the old code hard-coded 64 weights, so any other value crashed
+    on a shape mismatch — round-5 review).
     Near-identical images land within small Hamming distance, so the
     SimHash pigeonhole blocking (operators/dedup.py:109) applies as-is."""
+    n_bits = hash_side * hash_side
+    if not 1 <= n_bits <= 64:
+        raise ValueError(f"hash_side must be in [1, 8] (<=64 bits), got {hash_side}")
     g = resize_nearest(frame, hash_side, hash_side)
     g = to_grayscale(g)
     bits = (g > g.mean()).astype(np.uint64).ravel()
-    weights = np.left_shift(np.uint64(1), np.arange(63, -1, -1, dtype=np.uint64))
+    weights = np.left_shift(
+        np.uint64(1), np.arange(n_bits - 1, -1, -1, dtype=np.uint64)
+    )
     return int(np.int64((bits * weights).sum(dtype=np.uint64)))
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
@@ -47,7 +48,9 @@ def simhash_udf() -> Column:
     def _simhash(shingle_col: pd.Series) -> pd.Series:
         out = np.zeros(len(shingle_col), dtype=np.int64)
         for i, x in enumerate(shingle_col):
-            n = len(x)
+            # NULL array degrades like the empty array (simhash 0), same
+            # convention as minhash_udf (round-5 review)
+            n = 0 if x is None else len(x)
             if n == 0:
                 continue
             s = np.asarray(x, dtype=np.int64).view(np.uint64)
@@ -58,6 +61,27 @@ def simhash_udf() -> Column:
         return pd.Series(out)
 
     return _simhash
+
+
+def hamming_chunk_cols(col: Column, width: int, n_chunks: int) -> Column:
+    """``array<bigint>`` of the ``n_chunks`` unsigned ``width``-bit chunks
+    of a packed 64-bit signature — the pigeonhole blocking kernel shared
+    by SimHash text dedup, ahash media dedup, and hyperplane ANN.
+
+    One shared expression, deliberately: the width==64 case (one chunk =
+    exact-hash blocking, e.g. ``max_hamming=0``) needs ``mask = -1`` —
+    ``(1 << 64) - 1`` overflows LongType and py4j ships it as a Decimal
+    the bitwiseAND rejects. That fix previously lived only in
+    ``simhash_dedup_pairs`` while the copy-pasted sibling in
+    ``media_near_dup_pairs`` (and ``lsh_topk`` at ``n_chunks=1``) still
+    crashed (round-5 review)."""
+    mask = F.lit(-1 if width == 64 else (1 << width) - 1)
+    return F.array(
+        *[
+            F.shiftrightunsigned(col, c * width).bitwiseAND(mask)
+            for c in range(n_chunks)
+        ]
+    )
 
 
 def hyperplane_simhash_udf(dim: int, bits: int = 64, seed: int = 42) -> Column:

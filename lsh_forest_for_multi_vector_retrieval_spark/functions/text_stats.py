@@ -66,9 +66,18 @@ def quality_features(
     n_stop = stopword_count_col(text)
     punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok.cast("double")).otherwise(F.lit(0.0))
+    # EXACT mean: integer sum of token lengths / token count. The old
+    # closed form (n_chars - (n_tok - 1)) / n_tok assumed exactly one
+    # separator between tokens, so leading/trailing/repeated spaces
+    # inflated the mean ('a  b' -> 1.5 instead of 1.0) even though the
+    # tokenizer filters the empty tokens out (round-5 review). One
+    # integer fold + one IEEE division — still oracle-matchable.
+    tok_chars = F.aggregate(
+        _tokens(text), F.lit(0), lambda acc, t: acc + F.length(t)
+    )
     mean_tok_len = F.when(
         n_tok > 0,
-        (n_chars - (n_tok - 1)).cast("double") / n_tok.cast("double"),
+        tok_chars.cast("double") / n_tok.cast("double"),
     ).otherwise(F.lit(0.0))
     return df.select(
         F.col(id_col),

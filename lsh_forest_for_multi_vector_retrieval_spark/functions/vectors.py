@@ -52,7 +52,14 @@ def norm_col(a: Column) -> Column:
 
 def cosine_col(a: Column, b: Column) -> Column:
     denom = norm_col(a) * norm_col(b)
-    return F.when(denom > 0, dot_col(a, b) / denom).otherwise(F.lit(0.0))
+    # outer nanvl: dot_col's own guard protects the fold, but inf
+    # elements can still make the DIVISION NaN (inf/inf) — and NaN
+    # outranks every real score in Spark ordering. Same normalize-to-NULL
+    # rationale as dot_col; clean data is bit-identical (round-5 review).
+    return F.nanvl(
+        F.when(denom > 0, dot_col(a, b) / denom).otherwise(F.lit(0.0)),
+        F.lit(None).cast("double"),
+    )
 
 
 def l2_sq_col(a: Column, b: Column) -> Column:
@@ -91,7 +98,10 @@ def _stack_pair_batch(
     downstream: the dot kernel masks NaN results back to SQL NULL
     (matching ``dot_col``, whose fold is NULL once any product is NULL)
     and cosine's ``den > 0`` gate is False on a NaN denominator, giving
-    0.0 (matching ``cosine_col``'s NULL-condition ``otherwise(0.0)``)."""
+    0.0 (matching ``cosine_col``'s NULL-condition ``otherwise(0.0)``);
+    an INF element instead leaves den positive while num (inf*0) or the
+    division (inf/inf) goes NaN — both cosine paths mask that row to
+    NULL (the pandas kernel's NaN mask; ``cosine_col``'s outer nanvl)."""
     arrs_a = [None if x is None else np.asarray(x, dtype=np.float64) for x in a]
     arrs_b = [None if x is None else np.asarray(x, dtype=np.float64) for x in b]
     null = np.array(
@@ -267,6 +277,14 @@ def cosine_pandas_udf():
             return pd.Series([], dtype="float64")
         valid, null, arrs_a, arrs_b = _stack_pair_batch(a, b)
         vals = _pairwise_dense(valid, arrs_a, arrs_b, _cos_dense)
+        # an inf element can make num NaN while den stays positive
+        # (inf*0) or make the division NaN (inf/inf); mask those rows to
+        # NULL exactly like dot_pandas_udf and cosine_col's outer nanvl —
+        # a NaN score would outrank every real one (round-5 review)
+        nan_rows = np.isnan(vals)
+        if nan_rows.any():
+            valid[np.flatnonzero(valid)[nan_rows]] = False
+            vals = vals[~nan_rows]
         if valid.all():
             return pd.Series(vals)
         return _scatter_valid(valid, vals, null_fill=null)

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lsh_forest_for_multi_vector_retrieval_spark.functions.simhash import (
+    hamming_chunk_cols,
     hyperplane_simhash_udf,
 )
 from lsh_forest_for_multi_vector_retrieval_spark.functions.vectors import (
@@ -152,13 +153,8 @@ def lsh_topk(
 
     def explode_chunks(df: DataFrame, keep: list[str], width: int) -> DataFrame:
         n_ch = bits // width
-        mask = (1 << width) - 1
-        chunks = F.array(
-            *[
-                F.shiftrightunsigned(F.col("sig"), c * width).bitwiseAND(F.lit(mask))
-                for c in range(n_ch)
-            ]
-        )
+        # shared kernel: handles the width==64 mask (n_chunks=1)
+        chunks = hamming_chunk_cols(F.col("sig"), width, n_ch)
         return df.select(*keep, F.posexplode(chunks).alias("chunk_id", "chunk_val"))
 
     def block_join(qs: DataFrame, width: int) -> DataFrame:
@@ -277,7 +273,6 @@ def embedding_near_dup_pairs(
     _validate_chunking(bits, n_chunks)
     hp = hyperplane_simhash_udf(dim=dim, bits=bits, seed=seed)
     width = bits // n_chunks
-    mask = (1 << width) - 1
     # eager localCheckpoint: BOTH self-join sides read this table, so an
     # unmaterialized UDF plan would (a) recompute the signature UDF once
     # per side and (b) reproduce the lazy-plan+AQE shape bisected in
@@ -286,12 +281,7 @@ def embedding_near_dup_pairs(
     sig = vectors.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), hp(F.col(vec_col)).alias("sig")
     ).localCheckpoint(eager=True)
-    chunks = F.array(
-        *[
-            F.shiftrightunsigned(F.col("sig"), c * width).bitwiseAND(F.lit(mask))
-            for c in range(n_chunks)
-        ]
-    )
+    chunks = hamming_chunk_cols(F.col("sig"), width, n_chunks)
     blocks = sig.select(
         "vid", "vec", F.posexplode(chunks).alias("chunk_id", "chunk_val")
     )

@@ -19,6 +19,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lsh_forest_for_multi_vector_retrieval_spark.config import DedupConfig
+from lsh_forest_for_multi_vector_retrieval_spark.functions.simhash import (
+    hamming_chunk_cols,
+)
 from lsh_forest_for_multi_vector_retrieval_spark.functions.shingles import (
     with_shingle_strings,
     with_shingles,
@@ -203,15 +206,9 @@ def simhash_dedup_pairs(
     )
     n_chunks = max_hamming + 1  # pigeonhole blocks
     width = 64 // n_chunks
-    # width == 64 (max_hamming=0, "exact simhash only"): (1<<64)-1
-    # overflows LongType — the all-ones mask IS -1 in two's complement
-    mask = F.lit(-1 if width == 64 else (1 << width) - 1)
-    chunks = F.array(
-        *[
-            F.shiftrightunsigned(F.col("simhash"), c * width).bitwiseAND(mask)
-            for c in range(n_chunks)
-        ]
-    )
+    # shared kernel (functions/simhash.py) — carries the width==64 mask
+    # fix for max_hamming=0 ("exact simhash only")
+    chunks = hamming_chunk_cols(F.col("simhash"), width, n_chunks)
     blocks = sigs.select(
         "doc_id", "simhash", F.posexplode(chunks).alias("chunk_id", "chunk_val")
     )

@@ -29,6 +29,7 @@ from ..functions.multimodal import (
     image_features,
     resize_nearest,
 )
+from ..functions.simhash import hamming_chunk_cols
 
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
@@ -81,6 +82,42 @@ def with_image_features(media: DataFrame, id_col: str = "media_id") -> DataFrame
     return src.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ahash", T.LongType(), False),
+    ]
+)
+
+
+def with_ahash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(media_id, ahash) only — the dedup hot path. ``with_image_features``
+    also computes full-resolution float64 per-channel means/stds and a
+    luma histogram per row, all of which ``media_near_dup_pairs`` throws
+    away; the ahash needs only an 8x8 nearest-neighbor gather + mean
+    threshold, so at scale this stage skips nearly all the per-pixel
+    floating-point work (round-5 review)."""
+    from ..functions.multimodal import average_hash
+
+    src = media.where(F.col("media_type").isin("image", "video")).select(
+        F.col(id_col).alias("media_id"), "payload", "meta"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                frames = decode_image(payload, meta)
+                rows.append(
+                    {"media_id": int(media_id), "ahash": average_hash(frames[0])}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AHASH_SCHEMA])
+
+    return src.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
 def with_audio_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     src = media.where(F.col("media_type") == "audio").select(
         F.col(id_col).alias("media_id"), "payload", "meta"
@@ -93,10 +130,13 @@ def with_audio_features(media: DataFrame, id_col: str = "media_id") -> DataFrame
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
                 samples = decode_audio(payload, meta)
+                # sample_rate is nullable: degrade to 0 (duration 0.0 via
+                # audio_features' own guard) instead of int(None) killing
+                # the whole Arrow batch (round-5 review)
                 rows.append(
                     {
                         "media_id": int(media_id),
-                        **audio_features(samples, int(meta["sample_rate"])),
+                        **audio_features(samples, int(meta["sample_rate"] or 0)),
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA])
@@ -158,21 +198,12 @@ def media_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     tables (round-2 ADVICE). eager=True: a lazy checkpoint feeding both
     sides of a self-join races AQE stage materialization (benign
     "non-existent accumulator" ERROR flood — see ngram_jaccard_pairs_exact)."""
-    sigs = (
-        with_image_features(media)
-        .select("media_id", "ahash")
-        .localCheckpoint(eager=True)
-    )
+    sigs = with_ahash(media).localCheckpoint(eager=True)
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
-    chunks = F.array(
-        *[
-            F.shiftrightunsigned(F.col("ahash"), c * width).bitwiseAND(
-                F.lit((1 << width) - 1)
-            )
-            for c in range(n_chunks)
-        ]
-    )
+    # shared kernel: handles the width==64 mask (max_hamming=0 = exact
+    # ahash only) that the old inline copy got wrong (round-5 review)
+    chunks = hamming_chunk_cols(F.col("ahash"), width, n_chunks)
     blocks = sigs.select(
         "media_id", "ahash", F.posexplode(chunks).alias("chunk_id", "chunk_val")
     )

@@ -158,3 +158,88 @@ def test_media_near_dup_pairs_find_all_planted_groups(media_df):
     assert not missed, f"planted near-dup pairs missed: {missed}"
     false_pos = pairs - truth
     assert not false_pos, f"unrelated images within hamming<=3: {false_pos}"
+
+
+def test_average_hash_small_side():
+    """Round-5 review: hash_side other than 8 used to crash on a shape
+    mismatch (the bit-packing weights were hard-coded to 64 entries)."""
+    rng = np.random.RandomState(3)
+    frame = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    h4 = average_hash(frame, hash_side=4)
+    assert 0 <= h4 < (1 << 16)  # 16 bits fit unsigned in an int64
+    assert h4 == average_hash(frame, hash_side=4)  # deterministic
+    with pytest.raises(ValueError):
+        average_hash(frame, hash_side=16)  # 256 bits don't fit one word
+    with pytest.raises(ValueError):
+        average_hash(frame, hash_side=0)
+
+
+def test_decode_image_rejects_bad_meta():
+    """Round-5 review: NULL or zero meta dimensions must fail fast with a
+    diagnosable ValueError, not TypeError/IndexError deep in the kernels."""
+    for meta in (
+        {"codec": "rawrgb", "height": None, "width": 2, "channels": 3, "n_frames": 1},
+        {"codec": "rawrgb", "height": 0, "width": 2, "channels": 3, "n_frames": 1},
+        {"codec": "rawrgb", "height": 2, "width": 2, "channels": 0, "n_frames": 1},
+    ):
+        with pytest.raises(ValueError, match="positive"):
+            decode_image(b"", meta)
+
+
+def test_audio_features_null_sample_rate(spark):
+    """Round-5 review: a NULL sample_rate degrades to duration 0.0 instead
+    of int(None) killing the Arrow batch."""
+    import pandas as pd
+
+    samples = (np.sin(np.arange(64) / 3.0) * 20000).astype("<i2").tobytes()
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1],
+                "media_type": ["audio"],
+                "payload": [samples],
+                "meta": [
+                    {
+                        "codec": "rawpcm16",
+                        "width": None,
+                        "height": None,
+                        "channels": None,
+                        "n_frames": None,
+                        "sample_rate": None,
+                    }
+                ],
+            }
+        ),
+        schema="media_id long, media_type string, payload binary, "
+        "meta struct<codec:string,width:int,height:int,channels:int,"
+        "n_frames:int,sample_rate:int>",
+    )
+    got = with_audio_features(df).collect()
+    assert len(got) == 1
+    assert got[0].duration_sec == 0.0
+    assert got[0].rms > 0.0
+
+
+def test_media_near_dup_pairs_exact_only(media_df):
+    """Round-5 review: max_hamming=0 (exact ahash blocking, one 64-bit
+    chunk) used to crash — (1<<64)-1 overflows LongType; the shared
+    hamming_chunk_cols kernel carries the mask=-1 fix."""
+    got = media_near_dup_pairs(media_df, max_hamming=0)
+    rows = got.collect()
+    # exact-hash pairs are a subset of the hamming<=3 pairs
+    loose = {
+        (r.doc_a, r.doc_b) for r in media_near_dup_pairs(media_df, max_hamming=3).collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in rows} <= loose
+    assert all(r.hamming == 0 for r in rows)
+
+
+def test_with_ahash_matches_full_features(media_df):
+    """The dedup hot path's ahash-only stage must produce the same
+    (media_id, ahash) rows as the full feature operator."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.media import with_ahash
+
+    slim = with_ahash(media_df)
+    full = with_image_features(media_df).select("media_id", "ahash")
+    assert slim.exceptAll(full).count() == 0
+    assert full.exceptAll(slim).count() == 0

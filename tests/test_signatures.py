@@ -192,3 +192,30 @@ def test_minhash_params_growth_stable():
     legacy_b = rng.randint(0, p, size=128, dtype=_np.uint64)
     a, b = minhash_params(128, 42)
     assert np.array_equal(a, legacy_a) and np.array_equal(b, legacy_b)
+
+
+def test_signature_udfs_degrade_on_null_arrays(spark):
+    """Round-5 review: a NULL shingle array (external/joined tables —
+    with_shingles itself never produces one) must degrade like the empty
+    array instead of len(None) killing the Arrow batch."""
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.minhash import (
+        minhash_udf,
+    )
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.simhash import (
+        simhash_udf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [11, 22, 33]), (2, None), (3, [])],
+        "doc_id long, shingles array<bigint>",
+    )
+    mh = minhash_udf(8, 42)
+    sh = simhash_udf()
+    got = {
+        r.doc_id: (r.sig, r.sim)
+        for r in df.select(
+            "doc_id", mh("shingles").alias("sig"), sh("shingles").alias("sim")
+        ).collect()
+    }
+    assert got[2] == got[3]  # NULL == empty sentinel
+    assert got[1][0] != got[2][0]

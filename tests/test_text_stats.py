@@ -59,3 +59,17 @@ def test_fingerprint_order_sensitive(spark):
     # hand-computed: tokens a,b,c ascii 97,98,99 len 1 each
     # fp = 1*(97+1) + 2*(98+1) + 3*(99+1) = 98 + 198 + 300 = 596
     assert r[1] == 596 % FINGERPRINT_MOD == 596
+
+
+def test_mean_token_len_irregular_spacing(spark):
+    """Round-5 review: the mean must be the exact sum of token lengths /
+    token count — repeated/leading/trailing spaces used to inflate it
+    via the one-separator closed form."""
+    df = spark.createDataFrame(
+        [(1, "a  b"), (2, " hello "), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in quality_features(df).collect()}
+    assert r[1].mean_token_len == 1.0  # was (4-1)/2 = 1.5
+    assert r[2].mean_token_len == 5.0  # was 7.0
+    assert r[3].mean_token_len == 1.0
