@@ -16,6 +16,7 @@ BASELINE.md.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import subprocess
@@ -30,10 +31,38 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # 40k docs ≈ minutes-long jobs at both parallelism levels — long enough to
 # saturate the cores, short enough for interleaved A/B rounds to finish
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "40000"))
+
+# generation-recipe fingerprint in the default cache path: a recipe or
+# size change must MISS the cache, or before/after bench comparisons
+# silently measure different inputs (round-5 review; the old key was
+# BENCH_DOCS//1000, so 40500 reused the 40000 corpus). Keep every knob
+# of _ensure_bench_corpus's generate_pages call in this dict.
+_CORPUS_RECIPE = {
+    "n_docs": BENCH_DOCS,
+    "cluster_size": 4,
+    "clusters_div": 40,
+    "exact_div": 10,
+    "doc_len": 250,
+    "max_mutation": 0.04,
+    "seed": 42,
+}
+_RECIPE_FP = hashlib.md5(
+    json.dumps(_CORPUS_RECIPE, sort_keys=True).encode()
+).hexdigest()[:10]
 BENCH_CORPUS = os.environ.get(
     "SPARK_GRAFT_BENCH_CORPUS",
-    f"/tmp/spark_graft_bench/pages_{BENCH_DOCS // 1000}k.parquet",
+    f"/tmp/spark_graft_bench/pages_{BENCH_DOCS}_{_RECIPE_FP}.parquet",
 )
+
+
+def _child_pythonpath() -> str:
+    """Repo root PREPENDED to any inherited PYTHONPATH — clobbering it
+    breaks environments that reach pyspark via PYTHONPATH (the standard
+    SPARK_HOME distribution layout) and every subprocess then dies on
+    `import pyspark` (round-5 review)."""
+    inherited = os.environ.get("PYTHONPATH", "")
+    root = str(Path(__file__).parent)
+    return f"{root}{os.pathsep}{inherited}" if inherited else root
 
 
 def _spark(cpus: int, shuffle_partitions: int | None = None):
@@ -192,14 +221,10 @@ def _delivery_probe(n_procs: int) -> float:
     only be diagnosed by out-of-band reruns)."""
     import multiprocessing as mp
 
-    def spin(reps: int = 30_000_000) -> float:
-        t0 = time.perf_counter()
-        x = 1.0
-        for _ in range(reps):
-            x = (x * 1.000001) % 97.0
-        return time.perf_counter() - t0
-
-    base = min(spin(), spin())  # min-of-2 single-core baseline
+    # min-of-2 single-core baseline — the SAME kernel the pool workers
+    # run, so a calibration change can never desynchronize the baseline
+    # from the workers and skew every probe ratio (round-5 review)
+    base = min(_spin_worker(30_000_000), _spin_worker(30_000_000))
     with mp.Pool(n_procs) as pool:
         times = pool.map(_spin_worker, [30_000_000] * n_procs)
     return round(sum(base / t for t in times), 2)
@@ -228,7 +253,7 @@ def _delivery_probe_subproc(n_procs: int) -> float:
         proc = subprocess.run(
             [sys.executable, __file__, "--probe", str(n_procs)],
             capture_output=True, text=True,
-            env={**os.environ, "PYTHONPATH": str(Path(__file__).parent)},
+            env={**os.environ, "PYTHONPATH": _child_pythonpath()},
         )
         if proc.returncode == 0:
             for line in reversed(proc.stdout.splitlines()):
@@ -487,6 +512,9 @@ def run_single(cpus: int, reps: int | None = None) -> dict:
     # bench and set the var afterwards are honored (ADVICE round-2)
     if reps is None:
         reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+    # clamp like run_headline: reps=0 would leave wall=inf and the
+    # result row unbound — discovered only AFTER the warm-up run
+    reps = max(1, reps)
     # shuffle partitions FIXED across parallelism levels (like a real
     # cluster where the partition count is sized for the data, not the
     # executor count) so cores are the only variable
@@ -513,9 +541,7 @@ def run_single(cpus: int, reps: int | None = None) -> dict:
     }
 
 
-def run_scaling(
-    rounds: int = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
-) -> dict:
+def run_scaling(rounds: int | None = None) -> dict:
     """Interleaved A/B/A/B sampling: the sandbox VM's capacity varies by
     multiples over minutes, so the two parallelism levels alternate in
     time and the per-level MINIMUM approximates quiet-window performance
@@ -527,6 +553,12 @@ def run_scaling(
     per-job scheduling latency (~1-2 s/job regardless of cores) — at 40k
     docs the local[32] leg finishes in ~35 s and Amdahl's fixed ~15 s
     caps efficiency at ~0.6 no matter how well the operators scale."""
+    # env resolved per call (not at import time), same fix run_single
+    # carries (ADVICE round-2; re-introduced here and caught in round-5
+    # review)
+    if rounds is None:
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+    rounds = max(1, rounds)
     scaling_docs = os.environ.get("SPARK_GRAFT_SCALING_DOCS", "160000")
     samples: dict[int, list[dict]] = {8: [], 32: []}
     for _ in range(rounds):
@@ -537,13 +569,29 @@ def run_scaling(
                 text=True,
                 env={
                     **os.environ,
-                    "PYTHONPATH": str(Path(__file__).parent),
+                    "PYTHONPATH": _child_pythonpath(),
                     "SPARK_GRAFT_BENCH_DOCS": scaling_docs,
                 },
             )
             lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-            if lines:
-                samples[cpus].append(json.loads(lines[-1]))
+            if proc.returncode != 0 or not lines:
+                # a crashed round must be LOUD (same rule as the probe
+                # subprocess): silently producing fewer samples would
+                # make the per-level minimum a wrong-efficiency artifact
+                # with no trace (round-5 review)
+                _log(
+                    f"single-run subprocess failed (cpus={cpus}, "
+                    f"rc={proc.returncode}); stderr tail: "
+                    f"{proc.stderr.strip()[-500:]!r}"
+                )
+                continue
+            samples[cpus].append(json.loads(lines[-1]))
+    empty = [c for c, s in samples.items() if not s]
+    if empty:
+        raise RuntimeError(
+            f"no successful scaling samples at cpus={empty} after {rounds} "
+            "rounds — see the [bench] stderr log for per-round failures"
+        )
     best = {c: min(s, key=lambda r: r["wall_sec"]) for c, s in samples.items()}
     t8, t32 = best[8]["wall_sec"], best[32]["wall_sec"]
     eff = (t8 / t32) / (32 / 8)

@@ -32,8 +32,14 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local[N] → N; local[*] → machine cores
-        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "*"
+        # local[N] / local[N,maxFailures] → N; local[*] or anything
+        # unparseable (cluster URLs can legally contain '[') → the CPUS
+        # env default. The old exact-match parse crashed on the legal
+        # local[4,2] retry form (round-5 review).
+        import re
+
+        m = re.fullmatch(r"local\[(\d+|\*)(?:,\d+)?\]", master.strip())
+        inner = m.group(1) if m else "*"
         shuffle_partitions = cpus if inner == "*" else int(inner)
 
     builder = (

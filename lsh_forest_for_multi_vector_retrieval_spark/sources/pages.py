@@ -95,6 +95,12 @@ def generate_pages(
 
     ``true_cluster`` is the generation-time ground truth.
     """
+    if n_exact_dups > 0 and n_clusters <= 0:
+        # exact dups are copies of CLUSTER bases — without clusters the
+        # executor-side `j % n_clusters` would raise ZeroDivisionError
+        # mid-job as an opaque task failure (round-5 review; the repo's
+        # upfront-validation convention)
+        raise ValueError("n_exact_dups > 0 requires n_clusters >= 1")
     n_total = n_clusters * cluster_size + n_exact_dups + n_singletons
     base_ts = pd.Timestamp("2024-06-01", tz="UTC")
 
@@ -145,13 +151,28 @@ def generate_pages(
 
 
 def true_dup_pairs_oracle(
-    pages_pdf: pd.DataFrame, threshold: float = 0.8, k: int = 5
+    pages_pdf: pd.DataFrame,
+    threshold: float = 0.8,
+    k: int = 5,
+    lowercase: bool = True,
 ) -> set[tuple[int, int]]:
     """Driver-side brute-force exact-Jaccard oracle for tests (the
-    reference's brute_nn pattern, notebooks/lsh_forest.ipynb cell 1)."""
+    reference's brute_nn pattern, notebooks/lsh_forest.ipynb cell 1).
 
-    def shingle_set(text: str) -> set[str]:
-        toks = text.lower().split()
+    NULL/empty/whitespace-only text yields an EMPTY shingle set — the
+    engine's convention (with_shingles maps empty text to an empty array
+    that is never a candidate), so the oracle cannot fabricate
+    Jaccard-1.0 pairs between empty docs or crash on None (round-5
+    review). ``lowercase`` mirrors DedupConfig.lowercase — a
+    case-folding oracle against a case-sensitive engine reports phantom
+    recall regressions (same knob ngram_jaccard_pairs_exact carries)."""
+
+    def shingle_set(text) -> set[str]:
+        if text is None:
+            return set()
+        toks = (text.lower() if lowercase else text).split()
+        if not toks:
+            return set()
         if len(toks) < k:
             return {" ".join(toks)}
         return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
