@@ -16,7 +16,7 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -34,8 +34,13 @@ def _extract_one(html: bytes | None) -> str | None:
     if html is None:
         return None
     s = html.decode("utf-8", errors="replace")
-    # drop head (title etc.) — body text only
-    m = re.search(r"<body[^>]*>(.*?)</body>", s, flags=re.S | re.I)
+    # drop head (title etc.) — body text only; a truncated record with a
+    # missing </body> still drops the head (everything after <body...>)
+    # instead of silently leaking <title> text into the output (round-5
+    # review)
+    m = re.search(r"<body[^>]*>(.*?)</body>", s, flags=re.S | re.I) or re.search(
+        r"<body[^>]*>(.*)$", s, flags=re.S | re.I
+    )
     if m:
         s = m.group(1)
     s = _TAG_RE.sub(" ", s)
@@ -52,8 +57,8 @@ def extract_text_udf(html_col: pd.Series) -> pd.Series:
 
 
 def with_extracted_text(
-    df, html_col: str = "html", out_col: str = "extracted_text"
-) -> "F.DataFrame":
+    df: DataFrame, html_col: str = "html", out_col: str = "extracted_text"
+) -> DataFrame:
     return df.withColumn(out_col, extract_text_udf(F.col(html_col)))
 
 

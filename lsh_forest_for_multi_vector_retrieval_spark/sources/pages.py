@@ -65,11 +65,24 @@ def _mutate(
     return out
 
 
+def _escape_html(s: str) -> str:
+    """Escape exactly what extraction unescapes: '&' FIRST (so literal
+    entity-lookalike strings like '&quot;' round-trip byte-exactly), then
+    the tag delimiters. Without this, the extract(html) == text invariant
+    was one-sided — any text containing '&amp;', '<', or '>' failed it
+    (round-5 review)."""
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
 def _wrap_html(text: str, url: str) -> bytes:
     """Deterministic trivial markup; extraction must invert this
-    byte-exactly (input_hint per-row invariant)."""
+    byte-exactly (input_hint per-row invariant — exact for any text whose
+    whitespace is already single-space-normalized, which the generator
+    guarantees; extraction collapses whitespace runs like any real
+    extractor)."""
     return (
-        f"<html><head><title>{url}</title></head><body><p>{text}</p></body></html>"
+        f"<html><head><title>{_escape_html(url)}</title></head>"
+        f"<body><p>{_escape_html(text)}</p></body></html>"
     ).encode("utf-8")
 
 

@@ -86,3 +86,24 @@ def test_bench_child_pythonpath_prepends(monkeypatch):
     assert "/some/spark/python" in got
     monkeypatch.delenv("PYTHONPATH")
     assert bench._child_pythonpath() == "/root/repo"
+
+
+def test_entry_best_jaccard_covers_doc_b_side(spark):
+    """Round-5 review: verified pairs are canonicalized doc_a < doc_b, so
+    the flagship's best_jaccard must symmetrize — every member of a
+    multi-doc cluster reports a non-NULL best jaccard (the max-id member
+    of each cluster used to report NULL)."""
+    from pyspark.sql import functions as F
+    import __spark_entry__ as e
+
+    out = e.entry(spark).persist()
+    multi = (
+        out.groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .select("cluster_id")
+    )
+    members = out.join(multi, "cluster_id", "left_semi")
+    assert members.count() > 0
+    assert members.where(F.col("best_jaccard").isNull()).count() == 0
+    out.unpersist()
