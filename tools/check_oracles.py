@@ -48,16 +48,30 @@ def main() -> int:
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # a typo'd query name must not produce a false-green "all passed"
+    # with zero checks run (round-5 review)
+    unknown = only - qs.keys()
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}; known: {sorted(qs)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        sdf = fn(spark, sf_dir)
-        spdf = sdf.toPandas()
-        if name not in oracles:
-            print(f"{name:28s} rows-only: {len(spdf)} rows  OK(no oracle)")
+        # per-query isolation: one raising query (e.g. a fixture-oracle
+        # sf guard at a different sf_dir) records ONE failure instead of
+        # aborting the whole gate unchecked (round-5 review)
+        try:
+            sdf = fn(spark, sf_dir)
+            spdf = sdf.toPandas()
+            if name not in oracles:
+                print(f"{name:28s} rows-only: {len(spdf)} rows  OK(no oracle)")
+                continue
+            opdf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"{name:28s} FAIL raised {type(e).__name__}: {e}")
+            failures.append(name)
             continue
-        opdf = con.execute(oracles[name]).df()
         a, b = canon(spdf), canon(opdf)
         status = "OK"
         if list(a.columns) != list(b.columns):

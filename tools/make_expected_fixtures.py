@@ -86,10 +86,18 @@ def _media_frames(
 def expected_media_near_dups(max_hamming: int = 3) -> pd.DataFrame:
     """Brute-force all-pairs ahash-Hamming expectation for
     q_media_near_dups (generate_media(n_groups=8, group_size=3,
-    n_singletons=16, seed=7) defaults)."""
-    n_images = 8 * 3 + 16
+    n_singletons=16, seed=7) defaults). Corpus shape derives from
+    _media_frames' own defaults so the two cannot drift (round-5
+    review: the counts were separately hardcoded here)."""
+    import inspect
+
+    d = {
+        k: v.default
+        for k, v in inspect.signature(_media_frames).parameters.items()
+    }
+    n_images = d["n_groups"] * d["group_size"] + d["n_singletons"]
     hashes: dict[int, int] = {}
-    for mid in range(n_images + 4):  # images + default 4 videos
+    for mid in range(n_images + d["n_video"]):
         frames = _media_frames(mid)
         assert frames is not None
         hashes[mid] = average_hash(frames[0])
@@ -108,10 +116,14 @@ def expected_substring_pairs(
     gram: int = 32,
     window: int = 16,
     max_bucket_docs: int = 4096,
+    bucket_pivots: int = 64,
 ) -> pd.DataFrame:
     """Pure-Python expectation for q_substring_pairs(sf_dir): winnowed
-    fingerprint inverted index -> bucket pairs (sorted ids, capped the
-    same deterministic way) -> exact gram-set intersection counts."""
+    fingerprint inverted index -> bucket pairs (sorted ids, capped AND
+    pivot-starred exactly like star_pair_structs — round-5 review: the
+    old fixture emitted full cliques, so a >pivots-sized bucket would
+    have committed pairs the operator never produces) -> exact gram-set
+    intersection counts."""
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     fps: dict[int, np.ndarray] = {}
     grams: dict[int, set] = {}
@@ -132,7 +144,9 @@ def expected_substring_pairs(
         if len(ids) < 2:
             continue
         ids = sorted(ids)[:max_bucket_docs]
-        for i, a in enumerate(ids):
+        # pivot star: only the first bucket_pivots ids open pairs, each
+        # against every later id (pairs.star_pair_structs semantics)
+        for i, a in enumerate(ids[:bucket_pivots]):
             for b in ids[i + 1 :]:
                 cands.add((a, b))
     rows = []
@@ -155,6 +169,35 @@ def _round_half_up(x: float, digits: int = 6) -> float:
     return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
+def _fold_cosine(a, b) -> float:
+    """Left-fold double cosine — the exact reduction order of Spark's
+    interpreted ``aggregate`` (vectors.cosine_col). ONE shared kernel for
+    every ANN fixture: three verbatim copies existed and had to stay
+    bit-identical by hand (round-5 review)."""
+    dot = na = nb = 0.0
+    for x32, y32 in zip(a.tolist(), b.tolist()):
+        x, y = float(x32), float(y32)
+        dot += x * y
+        na += x * x
+        nb += y * y
+    denom = np.sqrt(na) * np.sqrt(nb)
+    return dot / denom if denom > 0 else 0.0
+
+
+def _hyperplane_sigs(vecs, ids, dim: int, bits: int, seed: int) -> dict[int, int]:
+    """Seeded hyperplane signatures — the shared twin of
+    functions/simhash.py::hyperplane_simhash_udf (deduplicated from two
+    verbatim blocks, round-5 review)."""
+    w = np.random.RandomState(seed).standard_normal((dim, bits))
+    bit_idx = np.arange(bits, dtype=np.uint64)
+    m = np.stack([np.asarray(vecs[int(i)], dtype=np.float64) for i in ids])
+    proj = m @ w
+    words = ((proj >= 0).astype(np.uint64) << bit_idx[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    return {int(i): int(s) for i, s in zip(ids, words)}
+
+
 def expected_lsh_ann_topk(
     sf_dir: str = "/root/testdata/sf0.01",
     n_queries: int = 20,
@@ -173,14 +216,7 @@ def expected_lsh_ann_topk(
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
     ids = emb["vec_id"].astype("int64").to_numpy()
     vecs = {int(i): np.asarray(v) for i, v in zip(ids, emb["embedding"])}
-    w = np.random.RandomState(seed).standard_normal((dim, bits))
-    bit_idx = np.arange(bits, dtype=np.uint64)
-    m = np.stack([np.asarray(vecs[int(i)], dtype=np.float64) for i in ids])
-    proj = m @ w
-    words = ((proj >= 0).astype(np.uint64) << bit_idx[None, :]).sum(
-        axis=1, dtype=np.uint64
-    )
-    sig = {int(i): int(s) for i, s in zip(ids, words)}
+    sig = _hyperplane_sigs(vecs, ids, dim, bits, seed)
     q_ids = sorted(int(i) for i in ids if i < n_queries)
     all_ids = sorted(int(i) for i in ids)
 
@@ -218,15 +254,7 @@ def expected_lsh_ann_topk(
         cand[q] = {n for n in all_ids if n != q}
 
     def cos6(a_id: int, b_id: int) -> float:
-        a, b = vecs[a_id], vecs[b_id]
-        dot = na = nb = 0.0
-        for x32, y32 in zip(a.tolist(), b.tolist()):
-            x, y = float(x32), float(y32)
-            dot += x * y
-            na += x * x
-            nb += y * y
-        denom = np.sqrt(na) * np.sqrt(nb)
-        return _round_half_up(dot / denom if denom > 0 else 0.0, 6)
+        return _round_half_up(_fold_cosine(vecs[a_id], vecs[b_id]), 6)
 
     rows = []
     for q in q_ids:
@@ -258,14 +286,7 @@ def expected_embedding_near_dups(
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
     ids = emb["vec_id"].astype("int64").to_numpy()
     vecs = {int(i): np.asarray(v) for i, v in zip(ids, emb["embedding"])}
-    w = np.random.RandomState(seed).standard_normal((dim, bits))
-    bit_idx = np.arange(bits, dtype=np.uint64)
-    m = np.stack([np.asarray(vecs[int(i)], dtype=np.float64) for i in ids])
-    proj = m @ w
-    words = ((proj >= 0).astype(np.uint64) << bit_idx[None, :]).sum(
-        axis=1, dtype=np.uint64
-    )
-    sig = {int(i): int(s) for i, s in zip(ids, words)}
+    sig = _hyperplane_sigs(vecs, ids, dim, bits, seed)
     width = bits // n_chunks
     mask = (1 << width) - 1
     blocks: dict[tuple[int, int], list[int]] = {}
@@ -280,15 +301,7 @@ def expected_embedding_near_dups(
                 cand.add((members[ai], members[bi]))
 
     def cos_raw(a_id: int, b_id: int) -> float:
-        a, b = vecs[a_id], vecs[b_id]
-        dot = na = nb = 0.0
-        for x32, y32 in zip(a.tolist(), b.tolist()):
-            x, y = float(x32), float(y32)
-            dot += x * y
-            na += x * x
-            nb += y * y
-        denom = np.sqrt(na) * np.sqrt(nb)
-        return dot / denom if denom > 0 else 0.0
+        return _fold_cosine(vecs[a_id], vecs[b_id])
 
     rows = []
     for a_id, b_id in sorted(cand):
@@ -316,7 +329,12 @@ def _shingle_hashes(text: str | None, k: int = 5) -> np.ndarray:
 
     if text is None:
         return np.empty(0, dtype=np.int64)
-    toks = [t for t in re.split(r"\s+", text.lower()) if t]
+    # ASCII whitespace ONLY: Spark's F.split(t, r"\s+") is Java regex \s
+    # = [ \t\n\x0b\f\r], while Python's \s is Unicode-aware (NBSP,
+    # U+2028, ...) — the exact trap functions/bpe.py documents; a
+    # non-ASCII-whitespace corpus would commit a divergent fixture
+    # (round-5 review; same class as bpe._ASCII_WS)
+    toks = [t for t in re.split(r"[ \t\n\x0b\f\r]+", text.lower()) if t]
     if not toks:
         return np.empty(0, dtype=np.int64)
     if len(toks) >= k:
@@ -407,6 +425,14 @@ def expected_forest_vote_topk(
                     w = gamma**d
                     pop = math.pow(math.log1p(n_docs / nd), beta)
                     contribs.setdefault(band, {})[cid] = w * pop
+        # KNOWN CAVEAT (round-5 review): this sums the per-band
+        # normalized contributions in band order, while the Spark twin's
+        # F.sum is an unordered hash aggregate — double addition is
+        # non-associative, so a raw_score within 1 ulp of a 0.5e-6
+        # rounding boundary could in principle round differently. Parity
+        # is pytest-gated empirically (test_expected_fixtures); the
+        # plaid fixture's ordered-fold approach (_sum_tok_best) is the
+        # by-construction alternative if this ever flakes.
         raw: dict[int, float] = {}
         for band, per_doc in contribs.items():
             mx = max(per_doc.values())
@@ -559,15 +585,7 @@ def expected_ivf_ann_topk(
         members.setdefault(max(cell_scores(i))[2], []).append(i)
 
     def cos6(a_id: int, b_id: int) -> float:
-        a, b = vecs[a_id], vecs[b_id]
-        d = na = nb = 0.0
-        for x32, y32 in zip(a.tolist(), b.tolist()):
-            x, y = float(x32), float(y32)
-            d += x * y
-            na += x * x
-            nb += y * y
-        denom = np.sqrt(na) * np.sqrt(nb)
-        return _round_half_up(d / denom if denom > 0 else 0.0, 6)
+        return _round_half_up(_fold_cosine(vecs[a_id], vecs[b_id]), 6)
 
     rows = []
     for q in sorted(i for i in all_ids if i < n_queries):
@@ -582,6 +600,9 @@ def expected_ivf_ann_topk(
             rows.append({"q_id": q, "n_id": n, "cosine": -neg, "rank": rank})
     df = pd.DataFrame(rows, columns=["q_id", "n_id", "cosine", "rank"])
     return df.astype({"q_id": "int64", "n_id": "int64", "rank": "int64"})
+
+
+_BPE_FIT_MEMO: dict = {}
 
 
 def expected_bpe_fit(
@@ -606,6 +627,12 @@ def expected_bpe_fit(
         split_words,
     )
 
+    # memo: bpe_vocab AND bpe_token_stats both need the merges; without
+    # it main() paid the full corpus scan + greedy learn twice (round-5
+    # review)
+    key = (sf_dir, num_merges, top_words)
+    if key in _BPE_FIT_MEMO:
+        return _BPE_FIT_MEMO[key]
     docs = pd.read_parquet(
         Path(sf_dir) / "documents.parquet", columns=["doc_id", "text"]
     )
@@ -613,7 +640,9 @@ def expected_bpe_fit(
     for t in docs["text"].fillna(""):
         counts.update(split_words(t))
     top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_words]
-    return learn_bpe_merges(top, num_merges)
+    merges = learn_bpe_merges(top, num_merges)
+    _BPE_FIT_MEMO[key] = merges
+    return merges
 
 
 def expected_bpe_vocab(
