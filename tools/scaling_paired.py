@@ -178,14 +178,17 @@ def _log_tail(cpus: int, lines: int = 15) -> str:
     return "\n".join(p.read_text(errors="replace").splitlines()[-lines:])
 
 
-def _read_line(w: subprocess.Popen, cpus: int) -> str:
-    """Blocking readline with dead-worker detection (ADVICE round-2)."""
+def _read_line(w: subprocess.Popen, cpus: int, tail_fn=None) -> str:
+    """Blocking readline with dead-worker detection (ADVICE round-2).
+    ``tail_fn`` lets callers with differently-named worker logs
+    (stage_scaling) report THEIR log instead of this tool's."""
     line = w.stdout.readline()
     if line:
         return line
     rc = w.poll()
+    tail = (tail_fn or _log_tail)(cpus)
     raise RuntimeError(
-        f"worker local[{cpus}] died (exit={rc}); stderr tail:\n{_log_tail(cpus)}"
+        f"worker local[{cpus}] died (exit={rc}); stderr tail:\n{tail}"
     )
 
 
@@ -202,9 +205,14 @@ def main() -> int:
     sys.path.insert(0, str(ROOT))
     import bench
 
-    spark = bench._spark(16)
-    corpus = bench._ensure_bench_corpus(spark)
-    spark.stop()
+    # skip the ~25 s JVM boot when the fingerprinted corpus is cached
+    # (round-5 review)
+    if (Path(bench.BENCH_CORPUS) / "_SUCCESS").exists():
+        corpus = bench.BENCH_CORPUS
+    else:
+        spark = bench._spark(16)
+        corpus = bench._ensure_bench_corpus(spark)
+        spark.stop()
 
     LOG_DIR.mkdir(exist_ok=True)
     code = WORKER_CODE.format(root=str(ROOT))
@@ -225,9 +233,14 @@ def main() -> int:
     # host) and away from low cores where unpinned foreground work lands.
     pin0 = int(os.environ.get("SPARK_GRAFT_SCALING_PIN_BASE", "24"))
     pin_base = {small: pin0, big: pin0 + small}
+    import shutil
+
+    # shutil.which, not a `which` subprocess: slim images without a
+    # which binary crashed with FileNotFoundError instead of falling
+    # back to unpinned mode (round-5 review)
     use_taskset = (
         os.environ.get("SPARK_GRAFT_SCALING_PIN", "1") == "1"
-        and subprocess.run(["which", "taskset"], capture_output=True).returncode == 0
+        and shutil.which("taskset") is not None
     )
     try:
         for cpus in (small, big):
@@ -340,7 +353,15 @@ def main() -> int:
             i += 1
         for w in workers.values():
             w.stdin.close()
-            w.wait(timeout=120)
+        for w in workers.values():
+            # a slow 40g-heap spark.stop() must not discard the run:
+            # TimeoutExpired here used to propagate BEFORE the artifact
+            # write, losing every collected pair (round-5 review)
+            try:
+                w.wait(timeout=120)
+            except subprocess.TimeoutExpired:
+                print("worker slow to stop — terminating", flush=True)
+                w.terminate()
     finally:
         for w in workers.values():
             if w.poll() is None:
@@ -407,7 +428,10 @@ def main() -> int:
     nc, npairs = next(iter(results))
     out = {
         "metric": f"scaling_efficiency_{small}_to_{big}_cores",
-        "value": median_eff if median_eff is not None else round(eff, 3),
+        # no probe-valid pair -> null headline, NOT the ungated min-based
+        # ratio over throttle-voided pairs (round-5 review); the ungated
+        # number stays available as min_based_efficiency_ungated
+        "value": median_eff,
         "unit": "efficiency",
         "probe_gated": {
             "rule": "valid pair = both legs' deliverable-CPU probes >= "
@@ -456,7 +480,7 @@ def main() -> int:
         f"flagship dedup job, same input, two RESIDENT JVMs (local[{small}], "
         f"local[{big}]) alternating single passes so adjacent samples share "
         "the VM's bursty background load; per-level minimum = quiet-window "
-        f"throughput; efficiency=(T{small}/T{big})/{big // small}; pairs "
+        f"throughput; efficiency=(T{small}/T{big})/{big / small:g}; pairs "
         "where both legs ran >2x their level minimum are flagged throttled "
         "(VM caps total deliverable CPU -> ratio collapses, no signal)",
     }

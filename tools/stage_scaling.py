@@ -40,10 +40,20 @@ sys.path.insert(0, str(ROOT / "tools"))
 from scaling_paired import (  # noqa: E402
     LOG_DIR,
     _cpu_probe,
-    _log_tail,
     _read_line,
     _wait_for_quiet,
 )
+
+
+def _stage_log_tail(cpus: int, lines: int = 15) -> str:
+    """Tail of THIS tool's worker log — scaling_paired._log_tail reads
+    worker_{cpus}.log, but these workers write stage_worker_{cpus}.log,
+    so error paths used to report a stale sibling log (round-5 review)."""
+    p = LOG_DIR / f"stage_worker_{cpus}.log"
+    if not p.exists():
+        return "(no log)"
+    return "\n".join(p.read_text(errors="replace").splitlines()[-lines:])
+
 
 STAGES = ["signatures", "bands", "pairs", "verify", "cc"]
 
@@ -80,7 +90,6 @@ n = docs.count()
 
 def staged():
     t = {{}}
-    prev = []
     t0 = time.perf_counter()
     # eager localCheckpoint = materialization barrier; each stage's clock
     # covers exactly its own compute (plus the checkpoint write, which a
@@ -140,17 +149,25 @@ def main() -> int:
     os.environ["SPARK_GRAFT_BENCH_DOCS"] = str(n_docs)
     import bench
 
-    spark = bench._spark(16)
-    corpus = bench._ensure_bench_corpus(spark)
-    spark.stop()
+    if (Path(bench.BENCH_CORPUS) / "_SUCCESS").exists():
+        corpus = bench.BENCH_CORPUS
+    else:
+        spark = bench._spark(16)
+        corpus = bench._ensure_bench_corpus(spark)
+        spark.stop()
 
     LOG_DIR.mkdir(exist_ok=True)
     code = WORKER_CODE.format(root=str(ROOT))
     pin0 = int(os.environ.get("SPARK_GRAFT_SCALING_PIN_BASE", "24"))
     pin_base = {small: pin0, big: pin0 + small}
+    import shutil
+
+    # shutil.which — slim images without a `which` binary crashed
+    # instead of falling back to unpinned (round-5 review; mirrors
+    # scaling_paired)
     use_taskset = (
         os.environ.get("SPARK_GRAFT_SCALING_PIN", "1") == "1"
-        and subprocess.run(["which", "taskset"], capture_output=True).returncode == 0
+        and shutil.which("taskset") is not None
     )
     workers: dict[int, subprocess.Popen] = {}
     logs: dict[int, object] = {}
@@ -176,7 +193,7 @@ def main() -> int:
         n = None
         for cpus, w in workers.items():
             while True:
-                line = _read_line(w, cpus)
+                line = _read_line(w, cpus, _stage_log_tail)
                 if line.startswith("READY"):
                     n = int(line.split()[1])
                     break
@@ -207,25 +224,25 @@ def main() -> int:
                 w = workers[cpus]
                 w.stdin.write("RUN\n")
                 w.stdin.flush()
-                line = _read_line(w, cpus)
+                line = _read_line(w, cpus, _stage_log_tail)
                 if not line.startswith("DONE "):
                     raise RuntimeError(
                         f"bad stage-worker line from local[{cpus}]: {line!r};"
-                        f" stderr tail:\n{_log_tail(cpus)}"
+                        f" stderr tail:\n{_stage_log_tail(cpus)}"
                     )
                 payload = json.loads(line[5:])
                 # post-leg probe: a pre-leg probe cannot certify the whole
-                # leg (BASELINE.md documents mid-leg throttle windows — and
-                # this tool's first 80k run caught one: a 4.07/4 pre-probe
-                # leg that ran 3.7x its level minimum). A leg is valid only
-                # if delivery was >=95% both before AND after. Settle 8 s
-                # first: probing the instant the job returns contends with
-                # the worker JVM's own wind-down (GC, shuffle cleanup) on
-                # the same pinned cores and voids clean legs (observed:
-                # five 4-core legs at the known quiet minimum, all with
-                # post-probes a hair under gate).
-                time.sleep(8.0)
+                # leg. Hardened settle+retry BACKPORTED from
+                # scaling_paired (round-5 review: the 8 s single-probe
+                # version here predated the sibling's fix — at large
+                # corpora the JVM's own wind-down outlives 8 s and voids
+                # clean legs; max-of-two at ~12 s and ~27 s recovers
+                # them while a real substrate cap persists across both).
+                time.sleep(12.0)
                 post = _cpu_probe(cpus, cpu_set=cpu_set)
+                if post < 0.95 * cpus:
+                    time.sleep(15.0)
+                    post = max(post, _cpu_probe(cpus, cpu_set=cpu_set))
                 valid = min(probe, post) >= 0.95 * cpus
                 legs[cpus].append(
                     {
@@ -247,6 +264,9 @@ def main() -> int:
                 )
             i += 1
 
+        if not results:
+            print("no completed legs — no artifact written", flush=True)
+            return 1
         assert len(results) == 1, f"nondeterministic results across legs: {results}"
 
         def stage_min(cpus: int, stage: str) -> float | None:
