@@ -47,10 +47,14 @@ from lsh_forest_for_multi_vector_retrieval_spark.sources.pages import (  # noqa:
     generate_pages,
 )
 
-# signature config shared by all arms: 16x8 base bands + 32 reserved
-# permutation rows for adaptive deepening. Pair budget is ~equal across
-# arms: clique over 16 kept docs = C(16,2)+... vs star with 16 pivots.
-BASE = DedupConfig(num_perm=160, max_bucket_docs=4096, bucket_pivots=16,
+# signature config shared by all arms. Reserved deepening rows come
+# from DedupConfig.signature_len (adaptive_reserved_rows, default 64 =
+# num_bands * max_extra for disjoint per-band extras) — NOT from
+# num_perm headroom: the old num_perm=160 computed 32 permutations no
+# arm ever consumed, inflating the fixed arms' MinHash cost for nothing
+# (round-5 review). Pair budget is ~equal across arms: clique over 16
+# kept docs vs star with 16 pivots.
+BASE = DedupConfig(num_perm=128, max_bucket_docs=4096, bucket_pivots=16,
                    adaptive_max_bucket=16, adaptive_max_extra_rows=4)
 
 ARMS = {
@@ -112,7 +116,7 @@ def main() -> int:
     # --- corpus A: mega-dup cluster integrity
     docs, n_groups, gsz = corpus_a(spark)
     docs = docs.persist()
-    docs.count()
+    n_docs_a = docs.count()
     a = {}
     for name, cfg in ARMS.items():
         r = run_arm(docs, cfg)
@@ -132,13 +136,14 @@ def main() -> int:
         }
     docs.unpersist()
     out["corpora"]["A_mega_dup"] = {
-        "n_docs": n_groups * gsz + 800, "groups": f"{n_groups}x{gsz}", "arms": a,
+        # counted from the corpus itself, not a re-stated literal
+        "n_docs": n_docs_a, "groups": f"{n_groups}x{gsz}", "arms": a,
     }
 
     # --- corpus B: sub-threshold template near-misses (verify waste)
     docs, n_groups, gsz = corpus_b(spark)
     docs = docs.persist()
-    docs.count()
+    n_docs_b = docs.count()
     b = {}
     for name, cfg in ARMS.items():
         r = run_arm(docs, cfg)
@@ -149,15 +154,25 @@ def main() -> int:
         }
     docs.unpersist()
     out["corpora"]["B_template_near_miss"] = {
-        "n_docs": n_groups * gsz + 500, "groups": f"{n_groups}x{gsz}", "arms": b,
+        "n_docs": n_docs_b, "groups": f"{n_groups}x{gsz}", "arms": b,
     }
 
+    # conclusion formatted from THIS run's measurements — a static
+    # string desynchronizes from its own arms section the moment any
+    # operator or corpus changes (round-5 review)
+    cand_cut = (
+        100.0
+        * (b["adaptive_star"]["candidates"] - b["pivot_star"]["candidates"])
+        / max(b["pivot_star"]["candidates"], 1)
+    )
     out["conclusion"] = (
         "flagship default = pivot_star, fixed depth. A: star keeps "
-        "mega-clusters whole (integrity 1.0 vs 0.66 for clique "
-        "truncation) at O(k*n) pairs and the lowest wall. B: adaptive "
-        "deepening cuts wasted sub-threshold candidates (~-34%) but its "
-        "iterative groupBy+semi-join build rounds cost far more wall "
+        "mega-clusters whole (integrity "
+        f"{a['pivot_star']['cluster_integrity']} vs "
+        f"{a['clique_truncate']['cluster_integrity']} for clique "
+        "truncation) at O(k*n) pairs. B: adaptive deepening changes "
+        f"sub-threshold candidates by {cand_cut:+.0f}% vs the star, but "
+        "its iterative groupBy+semi-join build rounds cost more wall "
         "than the saved verify work at this scale — it stays an opt-in "
         "(use_adaptive_bands) for corpora where per-candidate verify "
         "cost dominates (very long documents)"

@@ -25,7 +25,8 @@ import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
 
 from pyspark.sql import functions as F
 
@@ -119,13 +120,13 @@ def main() -> None:
         "(reference tree_params rebuild guard, test_query.py:191)",
         "grid": rows,
     }
-    Path("GRID_SWEEP.json").write_text(json.dumps(out, indent=2))
+    Path(ROOT / "GRID_SWEEP.json").write_text(json.dumps(out, indent=2))
     write_sweep_artifacts(rows)
     spark.stop()
     print(f"wrote GRID_SWEEP.json ({len(rows)} configs)")
 
 
-def write_sweep_artifacts(rows: list, out_dir: str = "charts") -> list:
+def write_sweep_artifacts(rows: list, out_dir: str | None = None) -> list:
     """CSV + summary plots for a finished sweep — the reference's
     run_experiments sinks (test_forest_vote.py:437: results_df.to_csv
     ('all_experiment_results.csv'); :464-502: lineplots hued by config →
@@ -135,7 +136,8 @@ def write_sweep_artifacts(rows: list, out_dir: str = "charts") -> list:
         multi_line_png,
     )
 
-    d = Path(out_dir)
+    # anchor at the repo root (sibling-tool convention), not the CWD
+    d = Path(out_dir) if out_dir is not None else ROOT / "charts"
     d.mkdir(exist_ok=True)
     written = []
     csv_path = d / "grid_sweep_results.csv"

@@ -22,30 +22,41 @@ import json
 import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
 
 from lsh_forest_for_multi_vector_retrieval_spark.sinks.plots import (  # noqa: E402
     multi_line_png,
 )
 
 
-def plot_scaling_artifact(artifact: dict, out_dir: str = "charts") -> list:
-    """Write the three scaling panels; returns the written paths."""
-    d = Path(out_dir)
+def plot_scaling_artifact(artifact: dict, out_dir: str | None = None) -> list:
+    """Write the three scaling panels; returns the written paths.
+
+    Tolerates artifacts with zero probe-valid pairs (a legitimate
+    fully-throttled scaling_paired run — its whole point is making such
+    windows visible) and pre-round-5 artifacts without a probe_gated
+    key: the "valid" series is simply omitted (round-5 review: either
+    shape used to crash before ANY chart was written)."""
+    # anchor at the repo root like every sibling tool, not the CWD
+    d = Path(out_dir) if out_dir is not None else ROOT / "charts"
     d.mkdir(exist_ok=True)
     written = []
 
-    gate = artifact["probe_gated"]
+    gate = artifact.get("probe_gated", {})
     eff_all = artifact["pairwise_efficiency"]
-    valid = set(gate["valid_pair_indices"])
+    valid = set(gate.get("valid_pair_indices", []))
     passes = list(range(1, len(eff_all) + 1))
 
-    series: dict = {
-        "all": (passes, eff_all),
-        "valid": ([p for p in passes if p - 1 in valid],
-                  [e for i, e in enumerate(eff_all) if i in valid]),
-        "rule 0.8": (passes, [0.8] * len(passes)),
-    }
+    series: dict = {"all": (passes, eff_all)}
+    if valid:
+        # same key order as the original three-series chart so the
+        # committed PNG stays byte-identical on the canonical artifact
+        series["valid"] = (
+            [p for p in passes if p - 1 in valid],
+            [e for i, e in enumerate(eff_all) if i in valid],
+        )
+    series["rule 0.8"] = (passes, [0.8] * len(passes))
     written.append(
         multi_line_png(str(d / "scaling_efficiency.png"), series))
 
@@ -67,7 +78,7 @@ def plot_scaling_artifact(artifact: dict, out_dir: str = "charts") -> list:
 
 
 def main() -> None:
-    path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SCALING.json"
+    path = sys.argv[1] if len(sys.argv) > 1 else str(ROOT / "BENCH_SCALING.json")
     artifact = json.loads(Path(path).read_text())
     written = plot_scaling_artifact(artifact)
     print(f"wrote {written}")
