@@ -734,3 +734,24 @@ def test_train_codebook_empty_sample_raises():
 
     with pytest.raises(ValueError, match="empty"):
         train_codebook([], k=4)
+
+
+def test_lsh_topk_single_chunk_equals_brute(spark, embeddings):
+    """n_chunks=1 (one 64-bit chunk) exercises the width-64 mask path of
+    the shared hamming_chunk_cols kernel inside lsh_topk: every vector
+    with the same full signature blocks together; with ensure_k the
+    result must equal brute force exactly (root fallback covers the
+    rest)."""
+    from lsh_forest_for_multi_vector_retrieval_spark.operators.ann import (
+        brute_force_topk,
+    )
+
+    vecs = embeddings.limit(40).persist()
+    vecs.count()
+    qs = vecs.where(F.col("vec_id") < 4)
+    lsh = lsh_topk(vecs, qs, k=5, n_chunks=1, ensure_k=True, round_digits=6)
+    brute = brute_force_topk(vecs, qs, k=5)
+    got = {(r.q_id, r.rank): r.n_id for r in lsh.collect()}
+    want = {(r.q_id, r.rank): r.n_id for r in brute.collect()}
+    assert got == want
+    vecs.unpersist()
