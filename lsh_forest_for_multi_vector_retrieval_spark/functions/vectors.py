@@ -222,6 +222,116 @@ def nearest_centroid_pandas_udf(centroids: list[list[float]]):
     return _cell_pd
 
 
+def centroid_scorevec_pandas_udf(centroids: list[list[float]]):
+    """Arrow-batched GEMM: per input vector, the dot against EVERY codebook
+    centroid as ``array<double>`` in codebook-POSITION order — the
+    production sibling of ``transform(centroid_scores_arr(...), c -> c.s)``
+    (one matmul per batch instead of k interpreted folds per row).
+    Degenerate rows (NULL / empty / wrong-dim vectors) yield an array of
+    SQL NULLs, exactly like the per-centroid fold (``dot_col`` is NULL on
+    every such row); a null ELEMENT inside a vector crosses Arrow as NaN,
+    poisons that row's GEMM products, and is masked back to NULL per
+    position (fold semantics again). ulp-level GEMM reduction-order
+    variance vs the fold is possible — fixture-oracle paths keep the
+    fold, same contract as ``nearest_centroid_pandas_udf``."""
+    cmat = np.asarray(centroids, dtype=np.float64)
+    dim = cmat.shape[1]
+    k = cmat.shape[0]
+
+    @pandas_udf("array<double>")
+    def _scores(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        arrs = [None if x is None else np.asarray(x, dtype=np.float64) for x in v]
+        valid = np.array(
+            [x is not None and x.ndim == 1 and x.shape[0] == dim for x in arrs],
+            dtype=bool,
+        )
+        out: list = [None] * len(arrs)
+        nulls = [None] * k
+        if valid.any():
+            m = np.stack([x for x, ok in zip(arrs, valid) if ok]) @ cmat.T
+            rows = iter(m)
+            for i, ok in enumerate(valid):
+                if ok:
+                    row = next(rows)
+                    if np.isnan(row).any():
+                        out[i] = [
+                            None if np.isnan(x) else float(x) for x in row
+                        ]
+                    else:
+                        out[i] = row.tolist()
+                else:
+                    out[i] = nulls
+        else:
+            for i in range(len(arrs)):
+                out[i] = nulls
+        return pd.Series(out, dtype=object)
+
+    return _scores
+
+
+def chamfer_pair_pandas_udf():
+    """Arrow-batched max-sum interaction over ``(array<array>, array<array>)``
+    row pairs: per row, ``sum over query tokens of max over doc tokens of
+    dot(q, d)`` — ONE einsum per equal-shape group per batch, replacing the
+    q_tok x d_tok row explosion + two hash aggregates of the former exact
+    re-rank plan. Matches the relational production path's NULL handling:
+    NaN dots (null elements) are missing, a token whose dots are all
+    missing is skipped by the sum (SQL ``sum`` ignores NULLs), and a row
+    with no scoreable token at all is NULL. Token-sum order is the given
+    query-token order (callers pass q_idx-sorted matrices), so results are
+    deterministic; ulp-level differences vs the interpreted fold are
+    possible — fixture-oracle comparisons keep the fold."""
+
+    def _mat(x) -> np.ndarray | None:
+        if x is None:
+            return None
+        try:
+            m = np.asarray(
+                [np.asarray(r, dtype=np.float64) for r in x], dtype=np.float64
+            )
+        except ValueError:  # ragged token dims inside one side
+            return None
+        if m.ndim != 2 or m.shape[0] == 0 or m.shape[1] == 0:
+            return None
+        return m
+
+    @pandas_udf("double")
+    def _chamfer(qs: pd.Series, ds: pd.Series) -> pd.Series:
+        n = len(qs)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        out = np.full(n, None, dtype=object)
+        groups: dict = {}
+        mats: list = []
+        for i in range(n):
+            qm, dm = _mat(qs[i]), _mat(ds[i])
+            if qm is None or dm is None or qm.shape[1] != dm.shape[1]:
+                mats.append(None)
+                continue
+            mats.append((qm, dm))
+            groups.setdefault((qm.shape, dm.shape[0]), []).append(i)
+        for idxs in groups.values():
+            Q = np.stack([mats[i][0] for i in idxs])  # (n, q, dim)
+            D = np.stack([mats[i][1] for i in idxs])  # (n, d, dim)
+            s = np.einsum("nqe,npe->nqp", Q, D)  # (n, q, d) dots
+            with np.errstate(invalid="ignore"):
+                # NaN dots are missing (fold scores them NULL; max ignores)
+                tok_best = np.where(
+                    np.isnan(s).all(axis=2), np.nan, np.nanmax(s, axis=2)
+                )  # (n, q)
+            any_tok = ~np.isnan(tok_best)
+            totals = np.where(any_tok, tok_best, 0.0).sum(axis=1)
+            for j, i in enumerate(idxs):
+                out[i] = float(totals[j]) if any_tok[j].any() else None
+        if all(x is not None for x in out):
+            return pd.Series([float(x) for x in out], dtype="float64")
+        return pd.Series(out, dtype=object)
+
+    return _chamfer
+
+
 def dot_pandas_udf():
     """Arrow-batched exact dot product over ``(array, array)`` row pairs —
     the plain-dot sibling of :func:`cosine_pandas_udf`, used by the PLAID

@@ -185,21 +185,32 @@ def lsh_topk(
             )
             return qsig.join(sat, "q_id", "left_anti")
 
-        if width > 1:
+        # gate each widening phase on whether ANY query is actually short
+        # (round 6): the common saturated case used to pay the half-width
+        # corpus re-explode + shuffle + checkpoint AND the root-fallback
+        # subtree just to add zero rows. ``unsaturated`` is one tiny
+        # aggregate over the checkpointed candidate table, so the isEmpty
+        # probes cost two small jobs; when queries ARE short, the phases
+        # run exactly as before (the skipped dropDuplicates is a no-op on
+        # the already-deduped block join output).
+        unsat = unsaturated(cand)
+        if width > 1 and not unsat.isEmpty():
             # ascend one level: parent prefix = half-width chunks
-            deeper = block_join(unsaturated(cand), max(width // 2, 1))
+            deeper = block_join(unsat, max(width // 2, 1))
             cand = (
                 cand.unionByName(deeper)
                 .dropDuplicates(["q_id", "n_id"])
                 .localCheckpoint(eager=True)
             )
-        # root fallback: exact scan for the (few) still-short queries
-        root = (
-            F.broadcast(unsaturated(cand).select("q_id", "q_vec"))
-            .crossJoin(csig.select("n_id", "n_vec"))
-            .where(F.col("q_id") != F.col("n_id"))
-        )
-        cand = cand.unionByName(root).dropDuplicates(["q_id", "n_id"])
+            unsat = unsaturated(cand)
+        if not unsat.isEmpty():
+            # root fallback: exact scan for the (few) still-short queries
+            root = (
+                F.broadcast(unsat.select("q_id", "q_vec"))
+                .crossJoin(csig.select("n_id", "n_vec"))
+                .where(F.col("q_id") != F.col("n_id"))
+            )
+            cand = cand.unionByName(root).dropDuplicates(["q_id", "n_id"])
     cos = cosine(F.col("q_vec"), F.col("n_vec"))
     if round_digits is not None:
         cos = F.round(cos, round_digits)
@@ -404,6 +415,11 @@ def ivf_topk(
         .select("q_id", "n_id", "q_vec", "n_vec")
     )
     if ensure_k:
+        # cand feeds BOTH the saturation aggregate and the final union —
+        # without materialization the cell join (and the corpus assignment
+        # UDF under it) executes twice in one action (round 6; the same
+        # fix lsh_topk's ensure_k path has carried since round 2)
+        cand = cand.localCheckpoint(eager=True)
         q = queries.select(
             F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
         )
@@ -413,12 +429,19 @@ def ivf_topk(
             .where(F.col("n") >= k)
             .select("q_id")
         )
-        root = (
-            F.broadcast(q.join(sat, "q_id", "left_anti"))
-            .crossJoin(corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")))
-            .where(F.col("q_id") != F.col("n_id"))
-        )
-        cand = cand.unionByName(root).dropDuplicates(["q_id", "n_id"])
+        # same short-query gate as lsh_topk: the saturated common case
+        # skips the root-fallback subtree entirely (one tiny isEmpty probe
+        # over the checkpointed candidates instead of an anti-join +
+        # broadcast cross join that adds zero rows)
+        unsat_q = q.join(sat, "q_id", "left_anti")
+        if not unsat_q.isEmpty():
+            root = (
+                F.broadcast(unsat_q)
+                .crossJoin(corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")))
+                .where(F.col("q_id") != F.col("n_id"))
+            )
+            cand = cand.unionByName(root)
+        cand = cand.dropDuplicates(["q_id", "n_id"])
     cos = cosine(F.col("q_vec"), F.col("n_vec"))
     if round_digits is not None:
         cos = F.round(cos, round_digits)

@@ -19,7 +19,6 @@ keyed joins against the inverted index.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -243,28 +242,24 @@ def centroid_index(
     )
 
 
-def _sum_tok_best(per_tok: DataFrame, round_digits: int | None) -> DataFrame:
-    """Sum ``tok_best`` over query tokens into ``score`` per (query, doc).
+def _sum_tok_vals(vals, round_digits: int | None):
+    """Sum an array of per-token ``tok_best`` values (already q_idx-sorted)
+    into one score Column.
 
-    With ``round_digits`` set, the sum is an ordered left fold over the
-    q_idx-sorted token list (a handful of elements per group) instead of a
-    hash-aggregate ``sum`` — partial-aggregation merge order varies with
-    partitioning, and a bit-reproducible score is what lets the
-    expected-parquet oracle hash-match. Production path (None) keeps the
-    map-side-combining ``sum``."""
+    With ``round_digits`` set this is an ordered left fold — NULL poisons,
+    and a bit-reproducible score is what lets the expected-parquet oracle
+    hash-match (partial-aggregation merge order would vary with
+    partitioning). The production path (None) mirrors SQL ``sum``: NULL
+    tokens are skipped, an all-NULL row sums to NULL — same contract the
+    pre-round-6 ``groupBy().agg(F.sum(...))`` stage carried."""
     if round_digits is None:
-        return per_tok.groupBy("query_id", "doc_id").agg(
-            F.sum("tok_best").alias("score")
-        )
-    folded = per_tok.groupBy("query_id", "doc_id").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("q_idx", "tok_best"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["tok_best"],
-        ).alias("_raw")
-    )
-    return folded.select(
-        "query_id", "doc_id", F.round("_raw", round_digits).alias("score")
+        nonnull = F.filter(vals, lambda v: v.isNotNull())
+        return F.when(
+            F.size(nonnull) > 0,
+            F.aggregate(nonnull, F.lit(0.0), lambda acc, v: acc + v),
+        ).otherwise(F.lit(None).cast("double"))
+    return F.round(
+        F.aggregate(vals, F.lit(0.0), lambda acc, v: acc + v), round_digits
     )
 
 
@@ -306,62 +301,140 @@ def plaid_topk(
     ``assignment`` is forwarded to :func:`centroid_index` ("pandas" = the
     Arrow GEMM production path; "fold" = bit-reproducible oracle path).
 
-    ``scoring`` picks the dot-product kernel for the two exploded-pair
-    stages (query-token x centroid S_cq, and the exact re-rank's
-    query-token x doc-token dots): "fold" (default) is the interpreted
+    ``scoring`` picks the dot-product kernel for the query-token x centroid
+    S_cq scores and the exact re-rank: "fold" (default) is the interpreted
     left-fold — bit-reproducible, what the expected-parquet fixture pins;
-    "pandas" is one Arrow-batched einsum per batch — the production path
-    (same split as the ANN family, round-4 VERDICT "What's missing" #2)."""
+    "pandas" is one Arrow-batched GEMM per batch — the production path
+    (same split as the ANN family, round-4 VERDICT "What's missing" #2).
+
+    Physical plan (round 6): every per-pair join/window of the former plan
+    is replaced by array arithmetic over three narrow aggregates —
+    * S_cq is a LITERAL-codebook score-array projection per query token
+      (no crossJoin, no broadcast, no per-token window shuffle; probing is
+      the same ``slice(reverse(array_sort(...)))`` kernel as
+      ``ann.ivf_topk``, identical desc-score/asc-id tie-break);
+    * the interaction score reads each token's score array positionally
+      against the doc's centroid-position array — the former
+      ``cand x doc_cents x s_cq`` three-way join + two hash aggregates
+      collapse into one join projection;
+    * the exact re-rank scores the (query-token-matrix, doc-token-matrix)
+      pair per candidate row — the former q_tok x d_tok row explosion
+      (|pool| * q_toks * d_toks rows, each carrying two vectors, through
+      two more shuffled aggregates) becomes |pool| rows and one batched
+      einsum (``chamfer_pair_pandas_udf``) or an in-row fold.
+    Scores are bit-identical to the former plan: same per-pair fold
+    arithmetic, same max semantics, same q_idx-ordered sum."""
     if scoring not in ("fold", "pandas"):
         raise ValueError(f"scoring must be 'fold' or 'pandas', got {scoring!r}")
+    if assignment not in ("fold", "pandas"):
+        raise ValueError(f"assignment must be 'fold' or 'pandas', got {assignment!r}")
     from lsh_forest_for_multi_vector_retrieval_spark.functions.vectors import (
-        dot_pandas_udf,
+        centroid_scorevec_pandas_udf,
+        chamfer_pair_pandas_udf,
     )
 
-    dot = dot_pandas_udf() if scoring == "pandas" else dot_col
-    index = centroid_index(doc_vectors, centroids, doc_col, vec_col, assignment)
+    # one bounded collect of the tiny codebook, shared by assignment AND
+    # scoring (the former plan collected it inside centroid_index and
+    # additionally broadcast the centroid table for S_cq). All internal
+    # arithmetic runs over codebook POSITIONS in centroid_id order —
+    # position ties == lowest-id ties, the centroid_index convention.
+    crows = sorted(
+        centroids.select("centroid_id", "centroid").collect(),
+        key=lambda r: r.centroid_id,
+    )
+    if not crows:
+        raise ValueError("centroids table is empty")
+    codebook = [r.centroid for r in crows]
+    n_cents = len(codebook)
 
-    # S_cq: query tokens x centroids (centroids broadcast — tiny side)
+    # inverted index over positions (the literal-argmax projection),
+    # aggregated straight to its per-doc array form: groupBy +
+    # collect_set dedups (centroid, doc) in the SAME exchange the former
+    # distinct + groupBy pair spent two on, and the eager localCheckpoint
+    # stops the corpus assignment subtree from executing once per
+    # consumer (the candidate join AND the score projection both read it;
+    # Spark has no cross-branch subtree reuse). One row per doc, a few
+    # ints wide — ContextCleaner-released, the repo's established pattern.
+    if assignment == "pandas":
+        pos = nearest_centroid_pandas_udf(codebook)(F.col(vec_col))
+    else:
+        pos = F.array_max(centroid_scores_arr(codebook, vec_col))["cid"]
+    doc_cents = (
+        doc_vectors.select(pos.alias("cpos"), F.col(doc_col).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("cpos")).alias("cposs"))
+        .localCheckpoint(eager=True)
+    )
+    index = doc_cents.select("doc_id", F.explode("cposs").alias("cpos"))
+
+    # S_cq: per query token, the score against EVERY centroid as one
+    # position-ordered array column — a projection, not a join
+    if scoring == "pandas":
+        s_arr = centroid_scorevec_pandas_udf(codebook)(F.col(vec_col))
+    else:
+        s_arr = F.transform(centroid_scores_arr(codebook, vec_col), lambda c: c["s"])
     qtok = query_vectors.select(
         F.col(query_col).alias("query_id"),
         F.col(qvec_id_col).alias("q_idx"),
         F.col(vec_col).alias("q_vec"),
-    )
-    s_cq = qtok.crossJoin(F.broadcast(centroids)).select(
-        "query_id",
-        "q_idx",
-        "centroid_id",
-        dot(F.col("q_vec"), F.col("centroid")).alias("s"),
+        s_arr.alias("s_arr"),
     )
 
-    # prune: keep top-nprobe centroids per query token...
-    w = Window.partitionBy("query_id", "q_idx").orderBy(
-        F.desc("s"), F.asc("centroid_id")
-    )
-    probed = s_cq.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") <= nprobe
-    )
-    # ...then drop centroids whose best score across the query is < t_cs
+    # prune: top-nprobe centroids per token (struct order (s, -pos, pos) =
+    # score desc, position asc — the shared ivf_topk probe kernel), then
+    # drop centroids whose best score across the query is < t_cs
     # (cell 7's centroid_pruned_ids)
+    probe = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_cents - 1)),
+                    lambda p: F.struct(
+                        F.element_at(F.col("s_arr"), p + F.lit(1)).alias("s"),
+                        (-p).alias("negcid"),
+                        p.alias("cid"),
+                    ),
+                )
+            )
+        ),
+        1,
+        nprobe,
+    )
     kept = (
-        probed.groupBy("query_id", "centroid_id")
+        qtok.select("query_id", F.explode(probe).alias("pr"))
+        .select("query_id", F.col("pr.cid").alias("cpos"), F.col("pr.s").alias("s"))
+        .groupBy("query_id", "cpos")
         .agg(F.max("s").alias("best"))
         .where(F.col("best") >= t_cs)
-        .select("query_id", "centroid_id")
+        .select("query_id", "cpos")
     )
 
     # candidate docs per query via the inverted index
-    cand = kept.join(index, "centroid_id").select("query_id", "doc_id").distinct()
+    cand = kept.join(index, "cpos").select("query_id", "doc_id").distinct()
 
-    # interaction score: max over the doc's centroids, sum over query tokens
-    doc_cents = index.select("doc_id", "centroid_id")
-    per_tok = (
-        cand.join(doc_cents, "doc_id")
-        .join(s_cq, ["query_id", "centroid_id"])
-        .groupBy("query_id", "doc_id", "q_idx")
-        .agg(F.max("s").alias("tok_best"))
+    # interaction score: max over the doc's centroid positions of each
+    # token's score array, summed over query tokens — the three-way
+    # per-token join collapses into one projection over two aggregates
+    q_sarr = qtok.groupBy("query_id").agg(
+        F.array_sort(F.collect_list(F.struct("q_idx", "s_arr"))).alias("toks")
     )
-    scores = _sum_tok_best(per_tok, round_digits)
+    coarse_vals = F.transform(
+        F.col("toks"),
+        lambda t: F.array_max(
+            F.transform(
+                F.col("cposs"), lambda c: F.element_at(t["s_arr"], c + F.lit(1))
+            )
+        ),
+    )
+    scores = (
+        cand.join(doc_cents, "doc_id")
+        .join(q_sarr, "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            _sum_tok_vals(coarse_vals, round_digits).alias("score"),
+        )
+    )
     wr = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     ranked = scores.withColumn("rank", F.row_number().over(wr))
     if rerank is None:
@@ -370,22 +443,35 @@ def plaid_topk(
     pool = ranked.where(F.col("rank") <= max(k, rerank)).select(
         "query_id", "doc_id"
     )
-    dtok = doc_vectors.select(
-        F.col(doc_col).alias("doc_id"), F.col(vec_col).alias("d_vec")
-    )
-    exact_tok = (
-        pool.join(qtok, "query_id")
-        .join(dtok, "doc_id")
-        # dot projected BEFORE the agg: the pandas kernel is a scalar UDF
-        # and must not sit inside an aggregate expression
-        .select(
-            "query_id", "doc_id", "q_idx",
-            dot(F.col("q_vec"), F.col("d_vec")).alias("tok_dot"),
+    # exact re-rank over matrices: one row per (query, doc) carrying the
+    # doc's token list and the query's q_idx-sorted token list — max over
+    # doc tokens is order-independent, so the collect_list order of d_vecs
+    # cannot affect the score
+    d_mat = (
+        doc_vectors.select(
+            F.col(doc_col).alias("doc_id"), F.col(vec_col).alias("d_vec")
         )
-        .groupBy("query_id", "doc_id", "q_idx")
-        .agg(F.max("tok_dot").alias("tok_best"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("d_vec").alias("d_vecs"))
     )
-    exact = _sum_tok_best(exact_tok, round_digits)
+    q_mat = qtok.groupBy("query_id").agg(
+        F.array_sort(F.collect_list(F.struct("q_idx", "q_vec"))).alias("qtoks")
+    )
+    joined = pool.join(q_mat, "query_id").join(d_mat, "doc_id")
+    if scoring == "pandas":
+        raw = chamfer_pair_pandas_udf()(
+            F.transform(F.col("qtoks"), lambda t: t["q_vec"]), F.col("d_vecs")
+        )
+        score = raw if round_digits is None else F.round(raw, round_digits)
+    else:
+        exact_vals = F.transform(
+            F.col("qtoks"),
+            lambda t: F.array_max(
+                F.transform(F.col("d_vecs"), lambda dv: dot_col(t["q_vec"], dv))
+            ),
+        )
+        score = _sum_tok_vals(exact_vals, round_digits)
+    exact = joined.select("query_id", "doc_id", score.alias("score"))
     return exact.withColumn("rank", F.row_number().over(wr)).where(
         F.col("rank") <= k
     )
