@@ -647,7 +647,11 @@ def q_chamfer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     docs = emb.select((F.col("vec_id") / 4).cast("long").alias("doc_id"), "embedding")
     qs = emb.where(F.col("vec_id") < 4)
-    return chamfer_scores(docs, qs, quantize_digits=6).select("doc_id", "chamfer")
+    # vec_id as the query-vector index: same grouping, no unpartitioned
+    # window (round-5 VERDICT #2; the oracle SQL already uses vec_id)
+    return chamfer_scores(docs, qs, quantize_digits=6, q_idx_col="vec_id").select(
+        "doc_id", "chamfer"
+    )
 
 
 def q_chamfer_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,7 +666,7 @@ def q_chamfer_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     docs = emb.select((F.col("vec_id") / 4).cast("long").alias("doc_id"), "embedding")
     qs = emb.where(F.col("vec_id") < 4)
-    scores = chamfer_scores(docs, qs, quantize_digits=6)
+    scores = chamfer_scores(docs, qs, quantize_digits=6, q_idx_col="vec_id")
     return rank_documents(scores, k=10).select(
         "doc_id", "chamfer", F.col("rank").cast("long").alias("rank")
     )

@@ -210,7 +210,12 @@ def connected_components(
         and edges.select("doc_a").limit(driver_max_edges + 1).count()
         <= driver_max_edges
     ):
-        pdf = edges.select("doc_a", "doc_b").distinct().toPandas()
+        # no distinct: union-find is duplicate-tolerant (a repeated edge is
+        # two no-op unions), the size gate above already bounded the RAW
+        # row count that reaches the driver, and the flagship's verified
+        # pairs are distinct anyway — the dedup exchange was pure overhead
+        # on the hot path (round 6)
+        pdf = edges.select("doc_a", "doc_b").toPandas()
         labels_map = _driver_union_find(
             zip(pdf["doc_a"].tolist(), pdf["doc_b"].tolist())
         )
