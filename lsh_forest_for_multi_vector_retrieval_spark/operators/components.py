@@ -203,19 +203,25 @@ def connected_components(
         # production scale
         raise ValueError(f"unknown algorithm: {algorithm!r}")
     spark = edges.sparkSession
-    # limit(n+1).count() stops scanning once the gate is decided — it never
-    # pays for a full count of a web-scale edge set
-    if (
-        driver_max_edges > 0
-        and edges.select("doc_a").limit(driver_max_edges + 1).count()
-        <= driver_max_edges
-    ):
-        # no distinct: union-find is duplicate-tolerant (a repeated edge is
-        # two no-op unions), the size gate above already bounded the RAW
-        # row count that reaches the driver, and the flagship's verified
-        # pairs are distinct anyway — the dedup exchange was pure overhead
-        # on the hot path (round 6)
-        pdf = edges.select("doc_a", "doc_b").toPandas()
+    # gate + pull in ONE action: limit(n+1).toPandas() stops scanning once
+    # n+1 rows exist, so a web-scale edge set still never pays a full
+    # count, and the small case no longer runs a separate gate-count job
+    # before the collect (round 6 — two actions over the same table).
+    # The oversized case wastes one BOUNDED transfer (n+1 slim rows,
+    # ~the same ~220 MB the driver path itself would have pulled) before
+    # falling through to the distributed loop — noise next to the
+    # multi-round shuffle iterations that follow. No distinct either:
+    # union-find is duplicate-tolerant (a repeated edge is two no-op
+    # unions), the limit bounds the RAW rows reaching the driver, and the
+    # flagship's verified pairs are distinct anyway.
+    pdf = None
+    if driver_max_edges > 0:
+        pdf = (
+            edges.select("doc_a", "doc_b").limit(driver_max_edges + 1).toPandas()
+        )
+        if len(pdf) > driver_max_edges:
+            pdf = None
+    if pdf is not None:
         labels_map = _driver_union_find(
             zip(pdf["doc_a"].tolist(), pdf["doc_b"].tolist())
         )
