@@ -302,17 +302,20 @@ def ngram_jaccard_pairs_exact(
     staged = staged.localCheckpoint(eager=True)
 
     sh = staged.select("doc_id", "n_sh", F.explode("shingle_strs").alias("sh"))
-    # document frequency as a COUNT WINDOW over the exploded table instead
-    # of a groupBy + self-join back (round 6; guide §2.4): the former plan
-    # exchanged the exploded shingle rows twice (once into the df
-    # aggregate, once into the join), the window needs one exchange on the
-    # same key. Values identical — shingle_strs are per-doc distinct, so
-    # count(*) per shingle is the document frequency either way.
-    sh_df = sh.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
+    # df table DELIBERATELY stays a groupBy + join, not a count window
+    # over sh (round 6 — tried, measured ~0.5 s faster at sf0.1, and
+    # REVERTED): a boilerplate shingle shared by millions of docs is this
+    # operator's core design concern, and a window partitioned by sh puts
+    # every one of that shingle's rows into ONE partition that AQE cannot
+    # split (skew handling applies to joins only — guide §2.5). The
+    # groupBy's exchange is map-side partially aggregated (tiny), and the
+    # join's hot partitions are AQE-skew-splittable.
+    df_tab = sh.groupBy("sh").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "sh")
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     prefix = (
-        sh_df.withColumn("rn", F.row_number().over(w))
+        sh.join(df_tab, "sh")
+        .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= prefix_len)
         .select("doc_id", "sh")
     )

@@ -121,31 +121,36 @@ def forest_vote_scores(
     changes top-k negligibly (pytest-gated <1% on the planted fixture).
     ``None`` disables the cap (exact reference semantics).
     """
-    # the corpus explosion (bands x depth row multiplication) has exactly
-    # ONE consumer since the node-count window replaced the groupBy +
-    # self-join (round 6) — the former eager localCheckpoint existed to
-    # keep the two-consumer plan from running the explode twice and is
-    # now a pure extra materialization pass, so it is gone
-    corpus_pref = prefix_table(corpus_sigs, cfg)
+    # materialize the corpus explosion (bands x depth row multiplication,
+    # the most expensive stage): it feeds BOTH the node_pop aggregation
+    # and the join probe side, and an unmaterialized plan would run the
+    # explode twice — the repo's established eager-localCheckpoint
+    # pattern (ann.embedding_near_dup_pairs, dedup.simhash_dedup_pairs)
+    corpus_pref = prefix_table(corpus_sigs, cfg).localCheckpoint(eager=True)
     query_pref = prefix_table(query_sigs, cfg).withColumnRenamed(
         "doc_id", "query_id"
     )
 
-    n_docs = corpus_sigs.count()
-
-    # popularity: docs per trie node (forest_vote.py:91 doc_counts) as a
-    # COUNT WINDOW over the node key instead of a groupBy + self-join —
-    # one exchange of the exploded prefix table instead of two (round 6;
-    # guide §2.4 "two operations keyed the same way share one exchange"),
-    # and the window's hash partitioning on the node key is exactly the
-    # query join's key, so Catalyst reuses it for the probe side. Same
-    # values, same mega-node drop BEFORE the query join ever sees them.
-    node_w = Window.partitionBy("band_id", "depth", "prefix_hash")
-    bounded_corpus = corpus_pref.withColumn(
-        "node_docs", F.count("*").over(node_w)
+    # popularity: docs per trie node (forest_vote.py:91 doc_counts).
+    # DELIBERATELY a groupBy + join, not a count window over the node key
+    # (round 6 — tried, measured faster at sf0.1, and REVERTED): a
+    # mega-node (a shallow trie prefix shared by a large fraction of a
+    # boilerplate-heavy corpus) would put ALL of its rows into one window
+    # partition that AQE cannot split — skew handling applies to joins
+    # only (guide §2.5). The groupBy's exchange is map-side partially
+    # aggregated (tiny post-shuffle), and the join's hot partitions are
+    # AQE-skew-splittable.
+    node_pop = corpus_pref.groupBy("band_id", "depth", "prefix_hash").agg(
+        F.count("*").alias("node_docs")
     )
     if max_node_docs is not None:
-        bounded_corpus = bounded_corpus.where(F.col("node_docs") <= max_node_docs)
+        node_pop = node_pop.where(F.col("node_docs") <= max_node_docs)
+    n_docs = corpus_sigs.count()
+
+    # join the bounded node table FIRST: a linear shuffle that drops every
+    # mega-node row before the query join ever sees it, and carries
+    # node_docs along so no second popularity join is needed
+    bounded_corpus = corpus_pref.join(node_pop, ["band_id", "depth", "prefix_hash"])
     joined = query_pref.join(
         bounded_corpus, ["band_id", "depth", "prefix_hash"]
     ).where(F.col("query_id") != F.col("doc_id"))
