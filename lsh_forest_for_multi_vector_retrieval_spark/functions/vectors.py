@@ -304,11 +304,19 @@ def chamfer_pair_pandas_udf():
     def _mat(x) -> np.ndarray | None:
         if x is None:
             return None
+        # a NULL token vector inside the list (a null struct FIELD survives
+        # collect_list) is a missing token: every dot it would contribute
+        # is NULL on the relational path, so max/sum skip it — dropping the
+        # row here is the identical semantics, and np.asarray(None) would
+        # otherwise kill the task with a TypeError
+        rows = [r for r in x if r is not None]
+        if not rows:
+            return None
         try:
             m = np.asarray(
-                [np.asarray(r, dtype=np.float64) for r in x], dtype=np.float64
+                [np.asarray(r, dtype=np.float64) for r in rows], dtype=np.float64
             )
-        except ValueError:  # ragged token dims inside one side
+        except (ValueError, TypeError):  # ragged/non-numeric token dims
             return None
         if m.ndim != 2 or m.shape[0] == 0 or m.shape[1] == 0:
             return None
@@ -316,6 +324,8 @@ def chamfer_pair_pandas_udf():
 
     @pandas_udf("double")
     def _chamfer(qs: pd.Series, ds: pd.Series) -> pd.Series:
+        import warnings
+
         n = len(qs)
         if n == 0:
             return pd.Series([], dtype="float64")
@@ -323,7 +333,7 @@ def chamfer_pair_pandas_udf():
         groups: dict = {}
         mats: list = []
         for i in range(n):
-            qm, dm = _mat(qs[i]), _mat(ds[i])
+            qm, dm = _mat(qs.iloc[i]), _mat(ds.iloc[i])
             if qm is None or dm is None or qm.shape[1] != dm.shape[1]:
                 mats.append(None)
                 continue
@@ -333,7 +343,10 @@ def chamfer_pair_pandas_udf():
             Q = np.stack([mats[i][0] for i in idxs])  # (n, q, dim)
             D = np.stack([mats[i][1] for i in idxs])  # (n, d, dim)
             s = np.einsum("nqe,npe->nqp", Q, D)  # (n, q, d) dots
-            with np.errstate(invalid="ignore"):
+            with warnings.catch_warnings():
+                # all-NaN token rows are legitimate (every dot missing) —
+                # nanmax's RuntimeWarning for them is expected, not a signal
+                warnings.simplefilter("ignore", RuntimeWarning)
                 # NaN dots are missing (fold scores them NULL; max ignores)
                 tok_best = np.where(
                     np.isnan(s).all(axis=2), np.nan, np.nanmax(s, axis=2)

@@ -289,3 +289,69 @@ def test_plaid_pandas_scoring_matches_fold(doc_vectors, query_vectors, centroids
 
     with pytest.raises(ValueError):
         plaid_topk(doc_vectors, query_vectors, centroids, scoring="Pandas", **kw)
+
+
+def test_round6_kernels_degenerate_inputs(spark):
+    """Round-6 Arrow kernels must degrade exactly like the relational
+    path on dirty data: a NULL token vector is a missing token (skipped
+    by the sum, never a task crash), an all-NULL side scores NULL, and
+    the per-centroid score vector of a degenerate input vector is an
+    array of NULLs (the fold's dot_col is NULL on every such row)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.vectors import (
+        centroid_scorevec_pandas_udf,
+        chamfer_pair_pandas_udf,
+    )
+
+    q = [[1.0, 0.0], [0.0, 2.0]]
+    d = [[1.0, 1.0], [3.0, 0.0]]
+    rows = [
+        # clean: sum over q of max over d of dot = max(1,3) + max(2,0) = 5
+        (0, q, d),
+        (1, [[1.0, 0.0], None], d),        # null q token skipped -> 3.0
+        (2, q, [None, [3.0, 0.0]]),        # null d token ignored -> 3+0
+        (3, [None], d),                    # no scoreable q token -> NULL
+        (4, q, None),                      # missing doc side -> NULL
+        (5, [[1.0]], d),                   # ragged dims -> NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, q array<array<double>>, d array<array<double>>"
+    )
+    got = {
+        r.id: r.s
+        for r in df.select(
+            "id", chamfer_pair_pandas_udf()(F.col("q"), F.col("d")).alias("s")
+        ).collect()
+    }
+    assert got[0] == 5.0
+    assert got[1] == 3.0
+    assert got[2] == 3.0
+    assert got[3] is None and got[4] is None and got[5] is None
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    vdf = spark.createDataFrame(
+        [(0, [2.0, 3.0]), (1, None), (2, [1.0])],
+        "id long, v array<double>",
+    )
+    sv = {
+        r.id: r.s
+        for r in vdf.select(
+            "id", centroid_scorevec_pandas_udf(cents)(F.col("v")).alias("s")
+        ).collect()
+    }
+    assert [round(x, 9) for x in sv[0]] == [2.0, 3.0]
+    assert list(sv[1]) == [None, None]  # NULL vector -> per-centroid NULLs
+    assert list(sv[2]) == [None, None]  # wrong-dim vector -> NULLs
+
+    # non-finite centroids cannot survive a SQL literal — rejected loudly
+    import pytest as _pytest
+
+    from lsh_forest_for_multi_vector_retrieval_spark.functions.vectors import (
+        _codebook_literal,
+    )
+
+    with _pytest.raises(ValueError, match="non-finite"):
+        _codebook_literal([[1.0, math.inf]])
