@@ -298,8 +298,11 @@ def plaid_topk(
     quantization then only decides the pool, not the final order — the
     same cheap-candidates -> exact-verify split as the dedup flagship.
 
-    ``assignment`` is forwarded to :func:`centroid_index` ("pandas" = the
-    Arrow GEMM production path; "fold" = bit-reproducible oracle path).
+    ``assignment`` picks the nearest-centroid kernel for the inverted
+    index ("pandas" = the Arrow GEMM production path; "fold" =
+    bit-reproducible oracle path) — the same two kernels
+    :func:`centroid_index` exposes, applied inline here so the codebook
+    is collected once.
 
     ``scoring`` picks the dot-product kernel for the query-token x centroid
     S_cq scores and the exact re-rank: "fold" (default) is the interpreted
